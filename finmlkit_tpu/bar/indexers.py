@@ -1,0 +1,263 @@
+"""Bar close-index computation (the "indexer" layer).
+
+TPU-native re-design of /root/reference/finmlkit/bar/logic.py. The
+reference walks the trade stream sequentially per bar type; here each
+indexer is re-derived as a vectorized XLA program:
+
+- time bars   -> pure searchsorted on a bar clock (logic.py:12-51)
+- tick bars   -> closed-form arithmetic progression (logic.py:54-84)
+- dollar bars -> carry-preserving thresholding is equivalent to
+  ``floor(cumsum/T)`` crossings, so boundaries are a batched searchsorted
+  plus a cummax bump for the one-boundary-per-trade rule (logic.py:118-149)
+- volume bars -> reset-to-zero thresholding; each boundary is a
+  searchsorted jump from the previous one (O(n_bars log n) total instead
+  of O(n_trades)) (logic.py:87-115)
+- CUSUM bars  -> non-associative reset scan; processed in vectorized
+  chunks using the closed form s+_t = max(s0 + R_t, R_t - cummin(R)_t),
+  jumping from event to event (logic.py:152-221)
+
+All indexers return ``(close_ts, close_indices)`` with the reference's
+convention: element 0 is the open anchor of the first bar; bar *i* spans
+trades ``(ci[i], ci[i+1]]``.
+"""
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Time bars
+# ---------------------------------------------------------------------------
+
+def time_bar_indexer(timestamps: jnp.ndarray, interval_seconds: float):
+    """Vectorized time-bar indexer.
+
+    Parity: /root/reference/finmlkit/bar/logic.py:12-51 including its
+    float64 bar-clock arithmetic (the reference computes the clock with
+    f64 ``//``/``ceil``/``arange``, so boundary values inherit f64
+    rounding at ns scale; we replicate that bit-for-bit).
+    """
+    step = float(interval_seconds) * 1e9  # f64 bar interval in ns
+    ts0 = float(timestamps[0])
+    ts_last = float(timestamps[-1])
+    start = math.floor(ts0 / step) * step
+    last = math.ceil(ts_last / step) * step
+    stop = last + step + 1.0
+    n_clock = int(np.ceil((stop - start) / step))
+    clock = (start + np.arange(n_clock, dtype=np.float64) * step).astype(np.int64)
+    clock_j = jnp.asarray(clock)
+    ci = jnp.searchsorted(timestamps, clock_j, side="right").astype(jnp.int64) - 1
+    return clock_j, ci
+
+
+# ---------------------------------------------------------------------------
+# Tick bars
+# ---------------------------------------------------------------------------
+
+def tick_bar_indexer(timestamps: jnp.ndarray, threshold: int):
+    """Closed-form tick-bar indexer.
+
+    Parity: /root/reference/finmlkit/bar/logic.py:54-84. The sequential
+    counter emits its first boundary at ``max(threshold-1, 1)`` and then
+    every ``max(threshold, 1)`` trades; no scan needed.
+    """
+    n = timestamps.shape[0]
+    step = max(int(threshold), 1)
+    first = max(int(threshold) - 1, 1)
+    boundaries = np.arange(first, n, step, dtype=np.int64)
+    ci = jnp.concatenate([jnp.zeros((1,), jnp.int64), jnp.asarray(boundaries)])
+    return timestamps[ci], ci
+
+
+# ---------------------------------------------------------------------------
+# Dollar bars (carry remainder -> global cumsum crossings)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_bars",))
+def _dollar_boundaries(cumdollar: jnp.ndarray, threshold: float, max_bars: int):
+    n = cumdollar.shape[0]
+    m = jnp.arange(1, max_bars + 1, dtype=jnp.float64)
+    naive = jnp.searchsorted(cumdollar, m * threshold, side="left").astype(jnp.int64)
+    naive = jnp.maximum(naive, 1)  # threshold check starts at trade 1
+    mi = jnp.arange(1, max_bars + 1, dtype=jnp.int64)
+    # enforce b_m >= b_{m-1}+1:  b_m = m + cummax(naive_m - m)
+    b = mi + jax.lax.cummax(naive - mi)
+    count = jnp.sum(b <= n - 1)
+    return b, count
+
+
+def dollar_bar_indexer(timestamps: jnp.ndarray, prices: jnp.ndarray,
+                       volumes: jnp.ndarray, threshold: float):
+    """Vectorized dollar-bar indexer.
+
+    Parity: /root/reference/finmlkit/bar/logic.py:118-149. Because the
+    reference carries the remainder (``cum -= threshold``), the running
+    total never resets, and the m-th boundary is the first trade where the
+    global dollar cumsum crosses ``m*threshold`` (bumped to be strictly
+    after the previous boundary). One batched searchsorted + one cummax.
+    """
+    c = jnp.cumsum(prices.astype(jnp.float64) * volumes.astype(jnp.float64))
+    total = float(c[-1])
+    max_bars = min(max(int(total / float(threshold)) + 1, 1), c.shape[0])
+    b, count = _dollar_boundaries(c, float(threshold), max_bars)
+    count = int(count)
+    ci = jnp.concatenate([jnp.zeros((1,), jnp.int64), b[:count]])
+    return timestamps[ci], ci
+
+
+# ---------------------------------------------------------------------------
+# Volume bars (reset to zero -> searchsorted jumps)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_bars",))
+def _volume_boundaries(cumvol: jnp.ndarray, threshold: float, max_bars: int):
+    n = cumvol.shape[0]
+
+    def cond(state):
+        pos, _, k, _ = state
+        return (pos < n) & (k < max_bars)
+
+    def body(state):
+        pos, base, k, out = state
+        nxt = jnp.searchsorted(cumvol, base + threshold, side="left").astype(jnp.int64)
+        nxt = jnp.maximum(nxt, pos + 1)
+        hit = nxt <= n - 1
+        out = out.at[k].set(jnp.where(hit, nxt, out[k]))
+        return (jnp.where(hit, nxt, n),
+                jnp.where(hit, cumvol[jnp.minimum(nxt, n - 1)], base),
+                k + jnp.where(hit, 1, 0),
+                out)
+
+    out = jnp.zeros((max_bars,), jnp.int64)
+    init = (jnp.int64(0), jnp.float64(0.0), jnp.int64(0), out)
+    _, _, k, out = jax.lax.while_loop(cond, body, init)
+    return out, k
+
+
+def volume_bar_indexer(timestamps: jnp.ndarray, volumes: jnp.ndarray, threshold: float):
+    """Volume-bar indexer with reset-to-zero semantics.
+
+    Parity: /root/reference/finmlkit/bar/logic.py:87-115 (cum volume
+    resets to 0 at each boundary, discarding the overshoot — unlike dollar
+    bars). Each boundary is found by a searchsorted jump from the previous
+    boundary's cumsum, so the loop runs O(n_bars) iterations, not O(n).
+    """
+    c = jnp.cumsum(volumes.astype(jnp.float64))
+    total = float(c[-1])
+    max_bars = min(max(int(total / float(threshold)) + 2, 2), c.shape[0])
+    out, k = _volume_boundaries(c, float(threshold), max_bars)
+    count = int(k)
+    ci = jnp.concatenate([jnp.zeros((1,), jnp.int64), out[:count]])
+    return timestamps[ci], ci
+
+
+# ---------------------------------------------------------------------------
+# CUSUM bars (chunked event-jump scan)
+# ---------------------------------------------------------------------------
+
+_CUSUM_CHUNK = 2048
+
+
+@partial(jax.jit, static_argnames=("max_bars", "chunk"))
+def _cusum_boundaries(rets: jnp.ndarray, lam: jnp.ndarray, can_close: jnp.ndarray,
+                      start: jnp.ndarray, max_bars: int, chunk: int):
+    """Event-jump scan for the CUSUM bar indexer.
+
+    ``rets[i]`` is the log return at trade i (0 where undefined), ``lam``
+    the per-trade threshold, ``can_close`` the same-timestamp-block rule
+    mask. Processes the stream in vectorized chunks, using the reset-scan
+    closed form (s+ = max(s0 + R, R - cummin R); s- = min(s0 + R,
+    R - cummax R)) which is valid up to the first event inside the chunk.
+    """
+    n = rets.shape[0]
+    pad = jnp.zeros((chunk,), rets.dtype)
+    rets_p = jnp.concatenate([rets, pad])
+    lam_p = jnp.concatenate([lam, jnp.full((chunk,), jnp.inf, lam.dtype)])
+    can_p = jnp.concatenate([can_close, jnp.zeros((chunk,), jnp.bool_)])
+
+    def cond(state):
+        pos, _, _, k, _ = state
+        return (pos < n) & (k < max_bars)
+
+    def body(state):
+        pos, sp0, sn0, k, out = state
+        r = jax.lax.dynamic_slice(rets_p, (pos,), (chunk,))
+        lm = jax.lax.dynamic_slice(lam_p, (pos,), (chunk,))
+        cc = jax.lax.dynamic_slice(can_p, (pos,), (chunk,))
+        big = jnp.cumsum(r)
+        s_pos = jnp.maximum(sp0 + big, big - jax.lax.cummin(big))
+        s_neg = jnp.minimum(sn0 + big, big - jax.lax.cummax(big))
+        in_range = pos + jnp.arange(chunk, dtype=jnp.int64) < n
+        pos_hit = s_pos >= lm
+        neg_hit = s_neg <= -lm
+        ev = cc & in_range & (pos_hit | neg_hit)
+        has_ev = jnp.any(ev)
+        e = jnp.argmax(ev).astype(jnp.int64)  # first event offset in chunk
+        ev_idx = pos + e
+
+        # state at the event (before reset)
+        spe, sne = s_pos[e], s_neg[e]
+        # reference resets only the triggered side; s_pos takes precedence
+        trig_pos = pos_hit[e]
+        new_sp = jnp.where(trig_pos, 0.0, spe)
+        new_sn = jnp.where(trig_pos, sne, 0.0)
+
+        # carry to next chunk when no event
+        last = jnp.minimum(n - 1 - pos, chunk - 1)
+        carry_sp, carry_sn = s_pos[last], s_neg[last]
+
+        out = out.at[k].set(jnp.where(has_ev, ev_idx, out[k]))
+        return (jnp.where(has_ev, ev_idx + 1, pos + chunk),
+                jnp.where(has_ev, new_sp, carry_sp),
+                jnp.where(has_ev, new_sn, carry_sn),
+                k + jnp.where(has_ev, 1, 0),
+                out)
+
+    out = jnp.zeros((max_bars,), jnp.int64)
+    init = (start + 1, jnp.float64(0.0), jnp.float64(0.0), jnp.int64(0), out)
+    _, _, _, k, out = jax.lax.while_loop(cond, body, init)
+    return out, k
+
+
+def cusum_bar_indexer(timestamps: jnp.ndarray, prices: jnp.ndarray,
+                      sigma: jnp.ndarray, sigma_floor: float, sigma_mult: float,
+                      max_bars: int | None = None):
+    """CUSUM bar indexer with adaptive threshold and ms-print-block rule.
+
+    Parity: /root/reference/finmlkit/bar/logic.py:152-221 — symmetric
+    CUSUM on log returns; threshold ``max(sigma_mult*sigma[i],
+    sigma_floor)``; NaN sigmas forward-filled from the first valid value;
+    a bar cannot close while ``timestamps[i] == timestamps[i+1]`` (same
+    print block); when s+ triggers only s+ resets (s- keeps running) and
+    vice versa.
+
+    Returns (close_ts, close_indices, filled_sigma).
+    """
+    n = prices.shape[0]
+    sig = sigma.astype(jnp.float64)
+    isnan = jnp.isnan(sig)
+    first_valid = jnp.argmin(isnan).astype(jnp.int64)  # first non-NaN index
+    # forward-fill NaNs (from first_valid on; leading NaNs are before start)
+    idx = jnp.arange(n)
+    last_valid = jax.lax.cummax(jnp.where(isnan, -1, idx))
+    sig_filled = sig[jnp.clip(last_valid, 0, n - 1)]
+    lam = jnp.maximum(sigma_mult * sig_filled, sigma_floor)
+
+    log_p = jnp.log(prices.astype(jnp.float64))
+    rets = jnp.concatenate([jnp.zeros((1,), jnp.float64), jnp.diff(log_p)])
+    can_close = jnp.concatenate([timestamps[:-1] != timestamps[1:],
+                                 jnp.ones((1,), jnp.bool_)])
+
+    mb = int(max_bars) if max_bars is not None else max(min(n, 1 << 20), 2)
+    while True:
+        out, k = _cusum_boundaries(rets, lam, can_close, first_valid, mb, _CUSUM_CHUNK)
+        count = int(k)
+        if count < mb or mb >= n:
+            break
+        mb = min(mb * 4, n)  # buffer saturated: grow and re-run
+
+    ci = jnp.concatenate([first_valid[None], out[:count]])
+    return timestamps[ci], ci, sig_filled

@@ -1,0 +1,263 @@
+"""User-facing bar builder kits (pandas in / pandas out).
+
+Parity: /root/reference/finmlkit/bar/kit.py + the BarBuilderBase template
+at bar/base.py:24-300. The kits are thin hosts around the jitted TPU
+kernels in ``indexers`` / ``aggregate`` / ``footprint``. Shapes are
+bucketed (padded to power-of-two sizes) so the XLA compile cache stays
+small across months of differing trade counts; padded trailing bars are
+empty by construction and sliced off before building DataFrames.
+"""
+from abc import ABC, abstractmethod
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..ops.scan import next_bucket
+from ..utils.log import get_logger
+from . import aggregate, indexers
+from .data_model import FootprintData, TradesData, comp_price_tick_size
+from .footprint import comp_bar_footprints
+
+logger = get_logger(__name__)
+
+
+def _pad_edge(arr: jnp.ndarray, bucket: int) -> jnp.ndarray:
+    n = arr.shape[0]
+    if bucket == n:
+        return arr
+    return jnp.concatenate([arr, jnp.full((bucket - n,), arr[-1], arr.dtype)])
+
+
+def _pad_zero(arr: jnp.ndarray, bucket: int) -> jnp.ndarray:
+    n = arr.shape[0]
+    if bucket == n:
+        return arr
+    return jnp.concatenate([arr, jnp.zeros((bucket - n,), arr.dtype)])
+
+
+class BarBuilderBase(ABC):
+    """Template-method base for bar builders.
+
+    Parity: /root/reference/finmlkit/bar/base.py:24-300. Subclasses
+    implement ``_comp_bar_close``; products are built by the jitted
+    aggregation kernels. ``bar_close_indices``/``bar_close_timestamps``
+    exclude the first (open-anchor) element, like the reference
+    (base.py:118-129).
+    """
+
+    def __init__(self, trades: TradesData):
+        self.trades_df = trades.data
+        n = len(self.trades_df)
+        bucket = next_bucket(n, 1024)
+        # device-resident, bucket-padded trade arrays; edge padding keeps
+        # timestamps sorted and preserves the reference's wraparound
+        # gathers (prices[-1] / sides[-1] at the unaligned first bar)
+        self._n_trades = n
+        self._ts = _pad_edge(jnp.asarray(self.trades_df["timestamp"].values.astype(np.int64)), bucket)
+        self._px = _pad_edge(jnp.asarray(self.trades_df["price"].values.astype(np.float64)), bucket)
+        self._amt = _pad_zero(jnp.asarray(self.trades_df["amount"].values.astype(np.float32)), bucket)
+        if "side" in self.trades_df.columns:
+            self._side = _pad_edge(jnp.asarray(self.trades_df["side"].values.astype(np.int8)), bucket)
+        else:
+            self._side = None
+
+        self._close_ts: Optional[np.ndarray] = None
+        self._close_indices: Optional[np.ndarray] = None
+        self._ci_padded: Optional[jnp.ndarray] = None
+        self._n_bars: Optional[int] = None
+        self._highs = None
+        self._lows = None
+
+    # ------------------------------------------------------------------
+    @abstractmethod
+    def _comp_bar_close(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Return (close_ts, close_indices) incl. the open-anchor element."""
+
+    def _set_bar_close(self):
+        if self._close_ts is None:
+            close_ts, ci = self._comp_bar_close()
+            self._close_ts = np.asarray(close_ts)
+            self._close_indices = np.asarray(ci)
+            n_bars = len(ci) - 1
+            bucket = next_bucket(n_bars + 1, 256) - 1
+            ci_p = np.concatenate([
+                np.asarray(ci),
+                np.full(bucket - n_bars, int(self._close_indices[-1]), np.int64),
+            ])
+            self._ci_padded = jnp.asarray(ci_p)
+            self._n_bars = n_bars
+
+    @property
+    def bar_close_indices(self) -> np.ndarray:
+        self._set_bar_close()
+        return self._close_indices[1:]
+
+    @property
+    def bar_close_timestamps(self) -> np.ndarray:
+        self._set_bar_close()
+        return self._close_ts[1:]
+
+    def _dt_index(self) -> pd.DatetimeIndex:
+        return pd.to_datetime(self.bar_close_timestamps, unit="ns")
+
+    # ------------------------------------------------------------------
+    def build_ohlcv(self) -> pd.DataFrame:
+        """OHLCV + VWAP + trades + median trade size (base.py:132-169)."""
+        self._set_bar_close()
+        out = aggregate.comp_bar_ohlcv(self._px, self._amt, self._ci_padded)
+        nb = self._n_bars
+        self._highs = out["high"][:nb]
+        self._lows = out["low"][:nb]
+        df = pd.DataFrame(
+            {k: np.asarray(v[:nb]) for k, v in out.items()},
+            index=self._dt_index(),
+        )[["open", "high", "low", "close", "volume", "trades",
+           "median_trade_size", "vwap"]]
+        df.index.name = "timestamp"
+        if hasattr(self, "interval"):
+            try:
+                df.index.freq = pd.Timedelta(seconds=self.interval)
+            except ValueError:
+                pass  # empty-bar duplicates prevent a fixed freq
+        return df
+
+    def build_directional_features(self) -> pd.DataFrame:
+        """Order-flow splits and cum-imbalance extrema (base.py:171-212)."""
+        self._set_bar_close()
+        if self._side is None:
+            raise ValueError("Trades data has no 'side' column.")
+        out = aggregate.comp_bar_directional_features(
+            self._px, self._amt, self._ci_padded, self._side)
+        nb = self._n_bars
+        df = pd.DataFrame({k: np.asarray(v[:nb]) for k, v in out.items()},
+                          index=self._dt_index())
+        df.index.name = "timestamp"
+        return df
+
+    def build_trade_size_features(self, theta, theta_mult: float = 5.0) -> pd.DataFrame:
+        """Relative trade-size features (base.py:214-245)."""
+        self._set_bar_close()
+        nb = self._n_bars
+        if np.isscalar(theta):
+            theta = np.full(nb, float(theta), np.float64)
+        theta = np.asarray(theta, dtype=np.float64)
+        if len(theta) != nb:
+            raise ValueError("Theta should match the number of bars.")
+        theta_p = jnp.asarray(np.concatenate(
+            [theta, np.zeros(self._ci_padded.shape[0] - 1 - nb)]))
+        out = aggregate.comp_bar_trade_size_features(
+            self._amt, theta_p, self._ci_padded, theta_mult)
+        df = pd.DataFrame({k: np.asarray(v[:nb]) for k, v in out.items()},
+                          index=self._dt_index())
+        df.index.name = "timestamp"
+        return df
+
+    def build_footprints(self, price_tick_size=None,
+                         imbalance_factor: float = 3.0) -> FootprintData:
+        """Dense footprint tensors + order-flow features (base.py:247-300)."""
+        self._set_bar_close()
+        if self._highs is None or self._lows is None:
+            self.build_ohlcv()
+        if price_tick_size is None:
+            price_tick_size = comp_price_tick_size(
+                self.trades_df["price"].values)
+        logger.info(f"Price tick size is set to: {price_tick_size}")
+        if self._side is None:
+            raise ValueError("Trades data has no 'side' column.")
+
+        nb = self._n_bars
+        lows = np.asarray(self._lows)
+        highs = np.asarray(self._highs)
+        n_levels = (np.round(highs / price_tick_size)
+                    - np.round(lows / price_tick_size) + 1).astype(np.int64)
+        max_levels = int(next_bucket(max(int(n_levels.max()), 1), 8))
+
+        nbp = self._ci_padded.shape[0] - 1
+        lows_p = jnp.asarray(np.concatenate([lows, np.full(nbp - nb, lows[-1])]))
+        highs_p = jnp.asarray(np.concatenate([highs, np.full(nbp - nb, highs[-1])]))
+
+        out = comp_bar_footprints(
+            self._px, self._amt, self._ci_padded, self._side,
+            price_tick_size, lows_p, highs_p, imbalance_factor,
+            max_levels=max_levels)
+        host = {k: np.asarray(v[:nb]) for k, v in out.items()}
+        return FootprintData(
+            bar_timestamps=self.bar_close_timestamps,
+            price_tick=price_tick_size,
+            **host,
+        )
+
+
+class TimeBarKit(BarBuilderBase):
+    """Fixed-interval time bars (kit.py:12-35)."""
+
+    def __init__(self, trades: TradesData, period: pd.Timedelta):
+        super().__init__(trades)
+        self.interval = period.total_seconds()
+
+    def _comp_bar_close(self):
+        ts = self._ts[: self._n_trades]
+        return indexers.time_bar_indexer(ts, self.interval)
+
+
+class TickBarKit(BarBuilderBase):
+    """Fixed tick-count bars (kit.py:38-67)."""
+
+    def __init__(self, trades: TradesData, tick_count_thrs: int):
+        super().__init__(trades)
+        self.tick_count_thrs = tick_count_thrs
+
+    def _comp_bar_close(self):
+        ts = self._ts[: self._n_trades]
+        return indexers.tick_bar_indexer(ts, self.tick_count_thrs)
+
+
+class VolumeBarKit(BarBuilderBase):
+    """Volume-threshold bars, reset-to-zero semantics (kit.py:70-101)."""
+
+    def __init__(self, trades: TradesData, volume_ths: float):
+        super().__init__(trades)
+        self.volume_ths = volume_ths
+
+    def _comp_bar_close(self):
+        ts = self._ts[: self._n_trades]
+        vol = self._amt[: self._n_trades]
+        return indexers.volume_bar_indexer(ts, vol, self.volume_ths)
+
+
+class DollarBarKit(BarBuilderBase):
+    """Dollar-threshold bars, carry-remainder semantics (kit.py:105-137)."""
+
+    def __init__(self, trades: TradesData, dollar_thrs: float):
+        super().__init__(trades)
+        self.dollar_thrs = dollar_thrs
+
+    def _comp_bar_close(self):
+        ts = self._ts[: self._n_trades]
+        px = self._px[: self._n_trades]
+        vol = self._amt[: self._n_trades]
+        return indexers.dollar_bar_indexer(ts, px, vol, self.dollar_thrs)
+
+
+class CUSUMBarKit(BarBuilderBase):
+    """Adaptive-threshold CUSUM bars (kit.py:140-181)."""
+
+    def __init__(self, trades: TradesData, sigma, sigma_floor: float = 5e-4,
+                 sigma_mult: float = 2.0):
+        super().__init__(trades)
+        self.lambda_mult = sigma_mult
+        self._sigma = np.asarray(sigma, dtype=np.float64)
+        self.sigma_floor = sigma_floor
+
+    def _comp_bar_close(self):
+        ts = self._ts[: self._n_trades]
+        px = self._px[: self._n_trades]
+        close_ts, ci, filled = indexers.cusum_bar_indexer(
+            ts, px, jnp.asarray(self._sigma), self.sigma_floor, self.lambda_mult)
+        self._sigma = np.asarray(filled)  # the reference fills NaNs in place
+        return close_ts, ci
+
+    def get_sigma(self) -> np.ndarray:
+        return self._sigma[self.bar_close_indices]

@@ -1,0 +1,92 @@
+"""Event sampling filters — TPU-native.
+
+Parity: /root/reference/finmlkit/sampling/filters.py. The symmetric CUSUM
+filter (AFML snippet 2.4) is a non-associative reset scan; like the CUSUM
+bar indexer it is processed in vectorized chunks with the reset-scan
+closed form, jumping from event to event (see
+finmlkit_tpu.bar.indexers for the derivation).
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_CHUNK = 2048
+
+
+@partial(jax.jit, static_argnames=("max_events", "chunk"))
+def _cusum_events(rets: jnp.ndarray, thr: jnp.ndarray, max_events: int, chunk: int):
+    n = rets.shape[0]
+    rets_p = jnp.concatenate([rets, jnp.zeros((chunk,), rets.dtype)])
+    thr_p = jnp.concatenate([thr, jnp.full((chunk,), jnp.inf, thr.dtype)])
+
+    def cond(state):
+        pos, _, _, k, _ = state
+        return (pos < n) & (k < max_events)
+
+    def body(state):
+        pos, sp0, sn0, k, out = state
+        r = jax.lax.dynamic_slice(rets_p, (pos,), (chunk,))
+        t = jax.lax.dynamic_slice(thr_p, (pos,), (chunk,))
+        big = jnp.cumsum(r)
+        s_pos = jnp.maximum(sp0 + big, big - jax.lax.cummin(big))
+        s_neg = jnp.minimum(sn0 + big, big - jax.lax.cummax(big))
+        in_range = pos + jnp.arange(chunk, dtype=jnp.int64) < n
+        neg_hit = s_neg < -t           # strict; checked first (filters.py:61)
+        pos_hit = s_pos > t            # strict
+        ev = in_range & (neg_hit | pos_hit)
+        has_ev = jnp.any(ev)
+        e = jnp.argmax(ev).astype(jnp.int64)
+        ev_idx = pos + e
+
+        trig_neg = neg_hit[e]          # s_neg precedence on double trigger
+        new_sp = jnp.where(trig_neg, s_pos[e], 0.0)
+        new_sn = jnp.where(trig_neg, 0.0, s_neg[e])
+
+        last = jnp.minimum(n - 1 - pos, chunk - 1)
+        carry_sp, carry_sn = s_pos[last], s_neg[last]
+
+        out = out.at[k].set(jnp.where(has_ev, ev_idx, out[k]))
+        return (jnp.where(has_ev, ev_idx + 1, pos + chunk),
+                jnp.where(has_ev, new_sp, carry_sp),
+                jnp.where(has_ev, new_sn, carry_sn),
+                k + jnp.where(has_ev, 1, 0),
+                out)
+
+    out = jnp.zeros((max_events,), jnp.int64)
+    init = (jnp.int64(1), jnp.float64(0.0), jnp.float64(0.0), jnp.int64(0), out)
+    _, _, _, k, out = jax.lax.while_loop(cond, body, init)
+    return out, k
+
+
+def cusum_filter(raw_time_series, threshold, max_events: int | None = None):
+    """Symmetric CUSUM event filter on log returns.
+
+    Parity: /root/reference/finmlkit/sampling/filters.py:6-70 — strict
+    threshold comparisons, s_neg checked before s_pos, only the triggered
+    side resets; threshold is a scalar (1-element array) or per-sample
+    vector. Returns int64 event indices into ``raw_time_series``.
+    """
+    x = np.asarray(raw_time_series, dtype=np.float64)
+    thr = np.asarray(threshold, dtype=np.float64)
+    if len(x) <= 1:
+        raise ValueError("Input time series must have at least 2 elements.")
+    if len(thr) != 1 and len(thr) != len(x):
+        raise ValueError(
+            "Threshold array must either contain 1 const. element or len(raw_time_series) elements.")
+    n = len(x)
+    if len(thr) == 1:
+        thr = np.full(n, thr[0])
+
+    xs = jnp.asarray(x)
+    rets = jnp.concatenate([jnp.full((1,), jnp.nan, jnp.float64),
+                            jnp.log(xs[1:] / xs[:-1])])
+    mb = int(max_events) if max_events is not None else max(min(n, 1 << 20), 2)
+    while True:
+        out, k = _cusum_events(rets, jnp.asarray(thr), mb, _CHUNK)
+        count = int(k)
+        if count < mb or mb >= n:
+            break
+        mb = min(mb * 4, n)
+    return np.asarray(out[:count])
