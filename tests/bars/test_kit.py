@@ -1,0 +1,177 @@
+"""End-to-end kit tests: TradesData preprocessing -> bar kits -> DataFrames,
+plus H5 store round-trips (reference pattern: tests/bars/test_data_model.py,
+test_io.py)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from finmlkit_tpu.bar import (
+    TradesData, TimeBarKit, TickBarKit, VolumeBarKit, DollarBarKit, CUSUMBarKit,
+)
+from finmlkit_tpu.bar.data_model import (
+    comp_trade_side_vector, merge_split_trades, comp_price_tick_size,
+)
+from finmlkit_tpu.data import H5Inspector
+
+
+def make_trades(trades_small):
+    ts, px, amt, side = trades_small
+    ids = np.arange(len(ts), dtype=np.int64)
+    return TradesData(ts, px, amt.astype(np.float32), ids,
+                      timestamp_unit="ns", preprocess=True)
+
+
+class TestPreprocessing:
+    def test_side_inference_tick_rule(self):
+        px = np.array([100.0, 101.0, 101.0, 100.5, 100.5, 102.0])
+        sides = comp_trade_side_vector(px)
+        np.testing.assert_array_equal(sides, [0, 1, 1, -1, -1, 1])
+
+    def test_merge_split_trades(self):
+        ts = np.array([1, 1, 1, 2, 2, 3], dtype=np.int64)
+        px = np.array([100.0, 100.0, 101.0, 100.0, 100.0, 100.0])
+        amt = np.array([1, 2, 3, 4, 5, 6], dtype=np.float32)
+        maker = np.array([True, True, False, False, False, False])
+        mts, mpx, mamt, mside = merge_split_trades(ts, px, amt, maker)
+        np.testing.assert_array_equal(mts, [1, 1, 2, 3])
+        np.testing.assert_array_equal(mpx, [100.0, 101.0, 100.0, 100.0])
+        np.testing.assert_allclose(mamt, [3.0, 3.0, 9.0, 6.0])
+        np.testing.assert_array_equal(mside, [-1, 1, 1, 1])
+
+    def test_merge_without_maker(self):
+        ts = np.array([1, 1, 2], dtype=np.int64)
+        px = np.array([100.0, 100.0, 100.0])
+        amt = np.array([1, 2, 3], dtype=np.float32)
+        mts, mpx, mamt, mside = merge_split_trades(ts, px, amt, None)
+        np.testing.assert_array_equal(mts, [1, 2])
+        np.testing.assert_allclose(mamt, [3.0, 3.0])
+        assert len(mside) == 0
+
+    def test_tick_size_inference(self):
+        px = np.round(100 + 0.05 * np.arange(50), 10)
+        assert comp_price_tick_size(px) == pytest.approx(0.05)
+
+    def test_duplicate_id_drop(self):
+        ts = np.array([1, 2, 2, 3], dtype=np.int64) * 10**15
+        px = np.array([1.0, 2.0, 2.0, 3.0])
+        amt = np.array([1, 1, 1, 1], dtype=np.float32)
+        ids = np.array([0, 1, 1, 2])
+        td = TradesData(ts, px, amt, ids, timestamp_unit="us", preprocess=True)
+        assert len(td.data) == 3
+        assert td.data_ok is False
+
+    def test_gap_detection(self):
+        n = 10
+        ts = (np.arange(n, dtype=np.int64) * 1_000_000_000
+              + 1_700_000_000_000_000_000)
+        ts[5:] += 120_000_000_000  # 2 min gap
+        px = np.full(n, 100.0)
+        amt = np.ones(n, dtype=np.float32)
+        ids = np.arange(n, dtype=np.int64)
+        ids[5:] += 50  # id gap of 50
+        td = TradesData(ts, px, amt, ids, timestamp_unit="ns", preprocess=True)
+        assert td.data_ok is False
+        assert len(td.discontinuities) == 1
+        assert td.discontinuities[0]["missing_ids"] == 50
+        assert td.missing_pct > 0
+
+    def test_timestamp_unit_conversion(self):
+        ts_ms = np.array([1_700_000_000_000, 1_700_000_000_100], dtype=np.int64)
+        td = TradesData(ts_ms, np.array([1.0, 2.0]),
+                        np.array([1, 1], dtype=np.float32),
+                        np.array([0, 1]), preprocess=True)
+        assert td.orig_timestamp_unit == "ms"
+        assert td.data["timestamp"].iloc[0] == 1_700_000_000_000_000_000
+
+
+class TestBarKits:
+    def test_time_bar_kit(self, trades_small):
+        td = make_trades(trades_small)
+        kit = TimeBarKit(td, pd.Timedelta(minutes=1))
+        df = kit.build_ohlcv()
+        assert {"open", "high", "low", "close", "volume", "trades",
+                "median_trade_size", "vwap"} <= set(df.columns)
+        assert len(df) == len(kit.bar_close_indices)
+        assert (df["high"] >= df["low"]).all()
+        nonempty = df["trades"] > 0
+        assert (df.loc[nonempty, "high"] >= df.loc[nonempty, "open"]).all()
+        assert df["trades"].sum() <= len(td.data)
+
+    def test_directional_and_size(self, trades_small):
+        td = make_trades(trades_small)
+        kit = TimeBarKit(td, pd.Timedelta(minutes=1))
+        ohlcv = kit.build_ohlcv()
+        ddf = kit.build_directional_features()
+        assert (ddf["ticks_buy"] + ddf["ticks_sell"]
+                <= ohlcv["trades"].values).all()
+        sdf = kit.build_trade_size_features(theta=0.1)
+        assert np.isfinite(sdf["mean_size_rel"][ohlcv["trades"] > 0].values).all()
+
+    def test_tick_volume_dollar_kits(self, trades_small):
+        td = make_trades(trades_small)
+        n = len(td.data)
+        for kit, checks in [
+            (TickBarKit(td, 100), lambda df: len(df) == (n - 1) // 100),
+            (VolumeBarKit(td, 5.0), lambda df: len(df) > 0),
+            (DollarBarKit(td, 500.0), lambda df: len(df) > 0),
+        ]:
+            df = kit.build_ohlcv()
+            assert checks(df)
+            assert (df["trades"] > 0).all()  # threshold bars are never empty
+
+    def test_cusum_kit(self, trades_small):
+        td = make_trades(trades_small)
+        sigma = np.full(len(td.data), 1e-3)
+        kit = CUSUMBarKit(td, sigma, sigma_floor=1e-4, sigma_mult=2.0)
+        df = kit.build_ohlcv()
+        assert len(df) > 0
+        assert len(kit.get_sigma()) == len(df)
+
+    def test_footprints_from_kit(self, trades_small):
+        td = make_trades(trades_small)
+        kit = TimeBarKit(td, pd.Timedelta(minutes=5))
+        fp = kit.build_footprints(price_tick_size=0.01)
+        assert len(fp) == len(kit.bar_close_indices)
+        df = fp.get_df()
+        assert {"price_level", "buy_volume", "sell_volume"} <= set(df.columns)
+        # per-bar buy+sell volume equals OHLCV volume (side-covered trades)
+        ohlcv = kit.build_ohlcv()
+        tot_fp = (fp.buy_volumes.sum() + fp.sell_volumes.sum())
+        covered = td.data["side"] != 0
+        assert tot_fp <= ohlcv["volume"].sum() + 1e-3
+
+
+class TestH5RoundTrip(object):
+    def test_save_load(self, tmp_path, trades_small):
+        td = make_trades(trades_small)
+        path = str(tmp_path / "trades.h5")
+        key = td.save_h5(path)
+        assert key.startswith("/trades/")
+        loaded = TradesData.load_trades_h5(path)
+        np.testing.assert_array_equal(loaded.data["timestamp"].values,
+                                      td.data["timestamp"].values)
+        np.testing.assert_allclose(loaded.data["price"].values,
+                                   td.data["price"].values)
+        np.testing.assert_array_equal(loaded.data["side"].values,
+                                      td.data["side"].values)
+
+    def test_time_filtering(self, tmp_path, trades_small):
+        td = make_trades(trades_small)
+        path = str(tmp_path / "trades.h5")
+        td.save_h5(path)
+        mid = pd.Timestamp(td.data["timestamp"].iloc[len(td.data) // 2], unit="ns")
+        loaded = TradesData.load_trades_h5(path, start_time=mid)
+        assert len(loaded.data) < len(td.data)
+        assert loaded.data["timestamp"].iloc[0] >= mid.value
+
+    def test_inspector(self, tmp_path, trades_small):
+        td = make_trades(trades_small)
+        path = str(tmp_path / "trades.h5")
+        td.save_h5(path)
+        insp = H5Inspector(path)
+        keys = insp.list_keys()
+        assert len(keys) == 1
+        meta = insp.get_metadata(keys[0])
+        assert meta["record_count"] == len(td.data)
+        summary = insp.get_integrity_summary()
+        assert len(summary) == 1
