@@ -1,0 +1,122 @@
+"""Benchmark: trades/sec/chip for bar build + triple-barrier labeling.
+
+Reproduces the reference's headline workload (1 month of BTCUSDT trades,
+39,171,929 records -> 1-min time bars; examples/PerformanceTest.ipynb:
+FinMLKit warm time 0.173 s) on synthetic trades of the same size, plus
+triple-barrier labeling over CUSUM events, on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares bar-build trades/sec against the Numba reference's
+published warm throughput (39,171,929 / 0.173 s = 2.264e8 trades/s).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Allow quick runs: bench.py [n_trades]
+N_TRADES = int(sys.argv[1]) if len(sys.argv) > 1 else 39_171_929
+REF_TRADES_PER_SEC = 39_171_929 / 0.173  # Numba warm, PerformanceTest.ipynb
+
+
+def synth_trades(n, seed=0):
+    r = np.random.default_rng(seed)
+    # ~70ms mean spacing -> about 32 days for 39.17M trades (1 month)
+    dt = (r.exponential(70.0, n) * 1e6).astype(np.int64)
+    ts = 1_751_328_000_000_000_000 + np.cumsum(dt)  # 2025-07-01 epoch ns
+    price = np.round(107_000.0 * np.exp(np.cumsum(r.normal(0, 2e-5, n))), 1)
+    amount = np.maximum(np.round(r.lognormal(-4.0, 1.5, n), 5), 1e-5).astype(np.float32)
+    side = np.where(r.random(n) < 0.5, 1, -1).astype(np.int8)
+    return ts, price, amount, side
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from finmlkit_tpu.bar import aggregate
+    from finmlkit_tpu.bar.indexers import time_bar_indexer
+    from finmlkit_tpu.label.tbm import triple_barrier
+    from finmlkit_tpu.sampling import cusum_filter
+
+    t0 = time.time()
+    ts, price, amount, side = synth_trades(N_TRADES)
+    print(f"# synth data: {N_TRADES:,} trades in {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    tsj = jax.device_put(jnp.asarray(ts))
+    pxj = jax.device_put(jnp.asarray(price))
+    amj = jax.device_put(jnp.asarray(amount))
+    sdj = jax.device_put(jnp.asarray(side))
+
+    # --- 1-min time bars ---
+    t0 = time.time()
+    close_ts, ci = time_bar_indexer(tsj, 60.0)
+    ci = jax.block_until_ready(ci)
+    t_index = time.time() - t0
+    n_bars = int(ci.shape[0]) - 1
+
+    def bar_build():
+        out = aggregate.comp_bar_ohlcv(pxj, amj, ci)
+        return out
+
+    # warm-up (compile)
+    t0 = time.time()
+    out = jax.block_until_ready(bar_build())
+    t_cold = time.time() - t0
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        jax.block_until_ready(bar_build())
+        times.append(time.time() - t0)
+    t_ohlcv = min(times)
+
+    # directional features (separate timing, warm)
+    jax.block_until_ready(
+        aggregate.comp_bar_directional_features(pxj, amj, ci, sdj))
+    t0 = time.time()
+    jax.block_until_ready(
+        aggregate.comp_bar_directional_features(pxj, amj, ci, sdj))
+    t_direc = time.time() - t0
+
+    # --- CUSUM events + triple barrier on bar closes ---
+    close_px = out["close"]
+    bar_ts = close_ts[1:]
+    t0 = time.time()
+    events = cusum_filter(np.asarray(close_px), np.array([0.002]))
+    t_cusum = time.time() - t0
+    events = events[events < n_bars - 2000]
+    if len(events) == 0:
+        events = np.arange(10, n_bars - 2000, 97)
+    targets = np.full(len(events), 0.003)
+
+    def tbm():
+        return triple_barrier(bar_ts, close_px, events, targets,
+                              (1.0, 1.0), 3600.0, min_close_time_sec=0.0)
+
+    jax.block_until_ready(tbm())  # compile
+    t0 = time.time()
+    jax.block_until_ready(tbm())
+    t_tbm = time.time() - t0
+
+    trades_per_sec = N_TRADES / t_ohlcv
+    combined = N_TRADES / (t_ohlcv + t_direc + t_tbm)
+    vs_baseline = trades_per_sec / REF_TRADES_PER_SEC
+
+    print(f"# n_bars={n_bars:,} events={len(events):,} "
+          f"t_index={t_index:.3f}s t_cold={t_cold:.1f}s t_ohlcv={t_ohlcv:.4f}s "
+          f"t_direc={t_direc:.4f}s t_cusum={t_cusum:.3f}s t_tbm={t_tbm:.4f}s "
+          f"combined={combined:,.0f} tr/s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "bar_build_trades_per_sec_chip",
+        "value": round(trades_per_sec),
+        "unit": "trades/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

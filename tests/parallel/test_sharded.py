@@ -1,0 +1,73 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh: the
+sharded bar products must match the single-device segment-op path
+exactly (boundary carry exchange included)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from finmlkit_tpu.bar import aggregate, indexers
+from finmlkit_tpu.parallel import time_mesh, shard_trades, sharded_bar_products
+
+
+@pytest.fixture
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return time_mesh(8)
+
+
+class TestShardedBarProducts:
+    def test_matches_single_device(self, mesh, trades_small):
+        ts, px, amt, side = trades_small
+        tsj = jnp.asarray(ts)
+        _, ci = indexers.time_bar_indexer(tsj, 60.0)
+
+        # single-device reference
+        ohlcv = aggregate.comp_bar_ohlcv(
+            jnp.asarray(px), jnp.asarray(amt, dtype=jnp.float32), ci)
+        direc = aggregate.comp_bar_directional_features(
+            jnp.asarray(px), jnp.asarray(amt, dtype=jnp.float32), ci,
+            jnp.asarray(side))
+
+        sharded = shard_trades(
+            {"price": px.astype(np.float64), "amount": amt.astype(np.float32),
+             "side": side.astype(np.int8)}, mesh)
+        out = sharded_bar_products(sharded, ci, mesh)
+
+        for k in ("open", "high", "low", "close", "vwap"):
+            np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ohlcv[k]),
+                                       rtol=1e-12, err_msg=k)
+        np.testing.assert_allclose(np.asarray(out["volume"]),
+                                   np.asarray(ohlcv["volume"]), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(out["trades"]),
+                                      np.asarray(ohlcv["trades"]))
+        for k in ("ticks_buy", "ticks_sell", "cum_ticks_min", "cum_ticks_max"):
+            np.testing.assert_array_equal(np.asarray(out[k]),
+                                          np.asarray(direc[k]), err_msg=k)
+        for k in ("volume_buy", "volume_sell", "dollars_buy", "dollars_sell",
+                  "cum_volume_min", "cum_volume_max",
+                  "cum_dollars_min", "cum_dollars_max"):
+            np.testing.assert_allclose(np.asarray(out[k]), np.asarray(direc[k]),
+                                       rtol=2e-5, err_msg=k)
+
+    def test_bars_straddle_shard_boundaries(self, mesh):
+        # few large bars so every bar spans multiple shards
+        n = 4096
+        r = np.random.default_rng(0)
+        ts = (np.arange(n) * 1_000_000_000 + 1_700_000_000_000_000_000).astype(np.int64)
+        px = 100 + np.round(r.normal(0, 0.5, n).cumsum(), 2)
+        amt = r.lognormal(0, 1, n).astype(np.float32)
+        side = np.where(r.random(n) < 0.5, 1, -1).astype(np.int8)
+        ci = jnp.asarray(np.array([-1, 1000, 2500, n - 1]), jnp.int64)
+
+        ohlcv = aggregate.comp_bar_ohlcv(jnp.asarray(px), jnp.asarray(amt), ci)
+        direc = aggregate.comp_bar_directional_features(
+            jnp.asarray(px), jnp.asarray(amt), ci, jnp.asarray(side))
+        sharded = shard_trades({"price": px, "amount": amt, "side": side}, mesh)
+        out = sharded_bar_products(sharded, ci, mesh)
+        np.testing.assert_allclose(np.asarray(out["high"]),
+                                   np.asarray(ohlcv["high"]), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(out["cum_volume_max"]),
+                                   np.asarray(direc["cum_volume_max"]), rtol=2e-5)
+        np.testing.assert_array_equal(np.asarray(out["cum_ticks_min"]),
+                                      np.asarray(direc["cum_ticks_min"]))
