@@ -110,7 +110,8 @@ def _load_single_group(filepath: str, month_key: str) -> dict:
     return out
 
 
-def load_trades_h5(filepath: str, *, start_time=None, end_time=None,
+def load_trades_h5(filepath: str, *, key: Optional[str] = None,
+                   start_time=None, end_time=None,
                    enable_multiprocessing: bool = False, max_workers: int = 4):
     """Load (a time range of) trades from the monthly store into TradesData.
 
@@ -127,6 +128,11 @@ def load_trades_h5(filepath: str, *, start_time=None, end_time=None,
         if "trades" not in f:
             raise KeyError(f"No /trades groups in {filepath}")
         all_keys = sorted(f["trades"].keys())
+    if key is not None:
+        month = key.rsplit("/", 1)[-1]
+        if month not in all_keys:
+            raise KeyError(f"Month {month} not in store (available: {all_keys})")
+        all_keys = [month]
     keys = _keys_for_timerange(all_keys, start_ts, end_ts)
     if not keys:
         raise ValueError(f"No monthly groups overlap requested range in {filepath}")
