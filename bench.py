@@ -35,18 +35,27 @@ def synth_trades(n, seed=0):
 def main():
     import jax
     import jax.numpy as jnp
-    from finmlkit_tpu.bar import aggregate
+    from finmlkit_tpu.bar import aggregate_q
     from finmlkit_tpu.bar.indexers import time_bar_indexer
+    from finmlkit_tpu.bar.quantize import quantize_trades
     from finmlkit_tpu.label.tbm import triple_barrier
     from finmlkit_tpu.sampling import cusum_filter
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     t0 = time.time()
     ts, price, amount, side = synth_trades(N_TRADES)
-    print(f"# synth data: {N_TRADES:,} trades in {time.time()-t0:.1f}s",
-          file=sys.stderr)
+    q = quantize_trades(price, amount)
+    assert q is not None, "synthetic prices must quantize"
+    print(f"# synth data: {N_TRADES:,} trades in {time.time()-t0:.1f}s "
+          f"(tick={q.tick_size})", file=sys.stderr)
 
     tsj = jax.device_put(jnp.asarray(ts))
-    pxj = jax.device_put(jnp.asarray(price))
+    tkj = jax.device_put(jnp.asarray(q.price_ticks))
+    unj = jax.device_put(jnp.asarray(q.amount_units))
     amj = jax.device_put(jnp.asarray(amount))
     sdj = jax.device_put(jnp.asarray(side))
 
@@ -58,8 +67,8 @@ def main():
     n_bars = int(ci.shape[0]) - 1
 
     def bar_build():
-        out = aggregate.comp_bar_ohlcv(pxj, amj, ci)
-        return out
+        return aggregate_q.comp_bar_ohlcv_q(tkj, unj, amj, ci,
+                                            q.tick_size, q.amount_scale)
 
     # warm-up (compile)
     t0 = time.time()
@@ -74,18 +83,19 @@ def main():
     t_ohlcv = min(times)
 
     # directional features (separate timing, warm)
-    jax.block_until_ready(
-        aggregate.comp_bar_directional_features(pxj, amj, ci, sdj))
+    def direc():
+        return aggregate_q.comp_bar_directional_features_q(
+            tkj, unj, ci, sdj, q.tick_size, q.amount_scale)
+    jax.block_until_ready(direc())
     t0 = time.time()
-    jax.block_until_ready(
-        aggregate.comp_bar_directional_features(pxj, amj, ci, sdj))
+    jax.block_until_ready(direc())
     t_direc = time.time() - t0
 
     # --- CUSUM events + triple barrier on bar closes ---
     close_px = out["close"]
     bar_ts = close_ts[1:]
     t0 = time.time()
-    events = cusum_filter(np.asarray(close_px), np.array([0.002]))
+    events = cusum_filter(np.asarray(close_px), np.array([0.002]), dtype="float32")
     t_cusum = time.time() - t0
     events = events[events < n_bars - 2000]
     if len(events) == 0:

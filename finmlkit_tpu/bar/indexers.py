@@ -108,6 +108,42 @@ def dollar_bar_indexer(timestamps: jnp.ndarray, prices: jnp.ndarray,
     return timestamps[ci], ci
 
 
+_DOLLAR_SHIFT = 6  # >>6 keeps a month of tick*unit dollars inside int64
+
+
+def dollar_bar_indexer_q(timestamps, price_ticks, amount_units, threshold,
+                         tick_size, amount_scale):
+    """Integer-exact dollar-bar indexer over quantized trades.
+
+    Dollar flow per trade is ``ticks * units`` (int64), right-shifted by
+    6 bits so the monthly cumsum stays inside int64 (the shift discards
+    < 1e-6 dollars per trade). The cumsum is exact and monotone, so
+    boundaries come from the same batched searchsorted + cummax bump as
+    the f64 path.
+    """
+    d = (price_ticks.astype(jnp.int64) * amount_units) >> _DOLLAR_SHIFT
+    c = jnp.cumsum(d)
+    thr_scaled = float(threshold) / (tick_size * amount_scale) / (1 << _DOLLAR_SHIFT)
+    total = float(c[-1])
+    max_bars = min(max(int(total / thr_scaled) + 1, 1), c.shape[0])
+    b, count = _dollar_boundaries(c, thr_scaled, max_bars)
+    count = int(count)
+    ci = jnp.concatenate([jnp.zeros((1,), jnp.int64), b[:count]])
+    return timestamps[ci], ci
+
+
+def volume_bar_indexer_q(timestamps, amount_units, threshold, amount_scale):
+    """Integer-exact volume-bar indexer (cumsum of int64 amount units)."""
+    c = jnp.cumsum(amount_units)
+    thr_units = float(threshold) / amount_scale
+    total = float(c[-1])
+    max_bars = min(max(int(total / thr_units) + 2, 2), c.shape[0])
+    out, k = _volume_boundaries(c, thr_units, max_bars)
+    count = int(k)
+    ci = jnp.concatenate([jnp.zeros((1,), jnp.int64), out[:count]])
+    return timestamps[ci], ci
+
+
 # ---------------------------------------------------------------------------
 # Volume bars (reset to zero -> searchsorted jumps)
 # ---------------------------------------------------------------------------
@@ -126,8 +162,9 @@ def _volume_boundaries(cumvol: jnp.ndarray, threshold: float, max_bars: int):
         nxt = jnp.maximum(nxt, pos + 1)
         hit = nxt <= n - 1
         out = out.at[k].set(jnp.where(hit, nxt, out[k]))
+        new_base = cumvol[jnp.minimum(nxt, n - 1)].astype(jnp.float64)
         return (jnp.where(hit, nxt, n),
-                jnp.where(hit, cumvol[jnp.minimum(nxt, n - 1)], base),
+                jnp.where(hit, new_base, base),
                 k + jnp.where(hit, 1, 0),
                 out)
 

@@ -16,7 +16,7 @@ import pandas as pd
 
 from ..ops.scan import next_bucket
 from ..utils.log import get_logger
-from . import aggregate, indexers
+from . import aggregate, aggregate_q, indexers
 from .data_model import FootprintData, TradesData, comp_price_tick_size
 from .footprint import comp_bar_footprints
 
@@ -63,6 +63,23 @@ class BarBuilderBase(ABC):
         else:
             self._side = None
 
+        # integer-exact fast path: quantize prices to ticks and amounts to
+        # 1e-8 units (see bar/quantize.py); falls back to the f64 kernels
+        # when the price grid is irregular
+        from .quantize import quantize_trades
+        q = quantize_trades(self.trades_df["price"].values.astype(np.float64),
+                            self.trades_df["amount"].values.astype(np.float32))
+        if q is not None:
+            self._ticks = _pad_edge(jnp.asarray(q.price_ticks), bucket)
+            self._units = _pad_zero(jnp.asarray(q.amount_units), bucket)
+            self._tick_size = q.tick_size
+            self._amount_scale = q.amount_scale
+        else:
+            self._ticks = None
+            self._units = None
+            self._tick_size = None
+            self._amount_scale = None
+
         self._close_ts: Optional[np.ndarray] = None
         self._close_indices: Optional[np.ndarray] = None
         self._ci_padded: Optional[jnp.ndarray] = None
@@ -106,7 +123,12 @@ class BarBuilderBase(ABC):
     def build_ohlcv(self) -> pd.DataFrame:
         """OHLCV + VWAP + trades + median trade size (base.py:132-169)."""
         self._set_bar_close()
-        out = aggregate.comp_bar_ohlcv(self._px, self._amt, self._ci_padded)
+        if self._ticks is not None:
+            out = aggregate_q.comp_bar_ohlcv_q(
+                self._ticks, self._units, self._amt, self._ci_padded,
+                self._tick_size, self._amount_scale)
+        else:
+            out = aggregate.comp_bar_ohlcv(self._px, self._amt, self._ci_padded)
         nb = self._n_bars
         self._highs = out["high"][:nb]
         self._lows = out["low"][:nb]
@@ -128,8 +150,13 @@ class BarBuilderBase(ABC):
         self._set_bar_close()
         if self._side is None:
             raise ValueError("Trades data has no 'side' column.")
-        out = aggregate.comp_bar_directional_features(
-            self._px, self._amt, self._ci_padded, self._side)
+        if self._ticks is not None:
+            out = aggregate_q.comp_bar_directional_features_q(
+                self._ticks, self._units, self._ci_padded, self._side,
+                self._tick_size, self._amount_scale)
+        else:
+            out = aggregate.comp_bar_directional_features(
+                self._px, self._amt, self._ci_padded, self._side)
         nb = self._n_bars
         df = pd.DataFrame({k: np.asarray(v[:nb]) for k, v in out.items()},
                           index=self._dt_index())
@@ -147,8 +174,13 @@ class BarBuilderBase(ABC):
             raise ValueError("Theta should match the number of bars.")
         theta_p = jnp.asarray(np.concatenate(
             [theta, np.zeros(self._ci_padded.shape[0] - 1 - nb)]))
-        out = aggregate.comp_bar_trade_size_features(
-            self._amt, theta_p, self._ci_padded, theta_mult)
+        if self._ticks is not None:
+            out = aggregate_q.comp_bar_trade_size_features_q(
+                self._units, self._amt, theta_p, self._ci_padded,
+                theta_mult, self._amount_scale)
+        else:
+            out = aggregate.comp_bar_trade_size_features(
+                self._amt, theta_p, self._ci_padded, theta_mult)
         df = pd.DataFrame({k: np.asarray(v[:nb]) for k, v in out.items()},
                           index=self._dt_index())
         df.index.name = "timestamp"
@@ -223,6 +255,10 @@ class VolumeBarKit(BarBuilderBase):
 
     def _comp_bar_close(self):
         ts = self._ts[: self._n_trades]
+        if self._units is not None:
+            return indexers.volume_bar_indexer_q(
+                ts, self._units[: self._n_trades], self.volume_ths,
+                self._amount_scale)
         vol = self._amt[: self._n_trades]
         return indexers.volume_bar_indexer(ts, vol, self.volume_ths)
 
@@ -236,6 +272,11 @@ class DollarBarKit(BarBuilderBase):
 
     def _comp_bar_close(self):
         ts = self._ts[: self._n_trades]
+        if self._units is not None:
+            return indexers.dollar_bar_indexer_q(
+                ts, self._ticks[: self._n_trades],
+                self._units[: self._n_trades], self.dollar_thrs,
+                self._tick_size, self._amount_scale)
         px = self._px[: self._n_trades]
         vol = self._amt[: self._n_trades]
         return indexers.dollar_bar_indexer(ts, px, vol, self.dollar_thrs)

@@ -41,8 +41,9 @@ def _cusum_events(rets: jnp.ndarray, thr: jnp.ndarray, max_events: int, chunk: i
         ev_idx = pos + e
 
         trig_neg = neg_hit[e]          # s_neg precedence on double trigger
-        new_sp = jnp.where(trig_neg, s_pos[e], 0.0)
-        new_sn = jnp.where(trig_neg, 0.0, s_neg[e])
+        zero = jnp.zeros((), rets.dtype)
+        new_sp = jnp.where(trig_neg, s_pos[e], zero)
+        new_sn = jnp.where(trig_neg, zero, s_neg[e])
 
         last = jnp.minimum(n - 1 - pos, chunk - 1)
         carry_sp, carry_sn = s_pos[last], s_neg[last]
@@ -55,18 +56,26 @@ def _cusum_events(rets: jnp.ndarray, thr: jnp.ndarray, max_events: int, chunk: i
                 out)
 
     out = jnp.zeros((max_events,), jnp.int64)
-    init = (jnp.int64(1), jnp.float64(0.0), jnp.float64(0.0), jnp.int64(0), out)
+    zero = jnp.zeros((), rets.dtype)
+    init = (jnp.int64(1), zero, zero, jnp.int64(0), out)
     _, _, _, k, out = jax.lax.while_loop(cond, body, init)
     return out, k
 
 
-def cusum_filter(raw_time_series, threshold, max_events: int | None = None):
+def cusum_filter(raw_time_series, threshold, max_events: int | None = None,
+                 dtype=None):
     """Symmetric CUSUM event filter on log returns.
 
     Parity: /root/reference/finmlkit/sampling/filters.py:6-70 — strict
     threshold comparisons, s_neg checked before s_pos, only the triggered
     side resets; threshold is a scalar (1-element array) or per-sample
     vector. Returns int64 event indices into ``raw_time_series``.
+
+    ``dtype`` selects the scan precision: float64 (default, exact parity
+    with the reference) or float32 (TPU fast path — f64 scan kernels
+    compile pathologically slowly on TPU; float32 keeps ~1e-7 relative
+    precision on log returns, so events at exact threshold boundaries may
+    differ in rare cases).
     """
     x = np.asarray(raw_time_series, dtype=np.float64)
     thr = np.asarray(threshold, dtype=np.float64)
@@ -79,9 +88,11 @@ def cusum_filter(raw_time_series, threshold, max_events: int | None = None):
     if len(thr) == 1:
         thr = np.full(n, thr[0])
 
-    xs = jnp.asarray(x)
-    rets = jnp.concatenate([jnp.full((1,), jnp.nan, jnp.float64),
+    dt = jnp.float64 if dtype is None else jnp.dtype(dtype)
+    xs = jnp.asarray(x, dt)
+    rets = jnp.concatenate([jnp.full((1,), jnp.nan, dt),
                             jnp.log(xs[1:] / xs[:-1])])
+    thr = thr.astype(dt)
     mb = int(max_events) if max_events is not None else max(min(n, 1 << 20), 2)
     while True:
         out, k = _cusum_events(rets, jnp.asarray(thr), mb, _CHUNK)
