@@ -32,6 +32,39 @@ import numpy as np
 # Time bars
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("n_clock", "step_i", "start_i", "inv_step"))
+def _time_bar_ci(timestamps, start_f, n_clock: int, step_i: int,
+                 start_i: int, inv_step: float):
+    """Close indices via elementwise binning + scatter counts.
+
+    Avoids both searchsorted (random gathers — the slowest TPU executing
+    primitive) and f64 multiply/divide (pathological compile times on
+    this TPU): the approximate bin comes from an f32 reciprocal multiply
+    (error << one bar), then two exact corrections compare against the
+    reference's f64-rounded clock values, reconstructed per-element as
+    ``int64(start_f + f64(k*step_i))`` — the same rounding np.arange
+    produces, using only an int multiply, an exact int->f64 convert and
+    one f64 add.
+    """
+    n = timestamps.shape[0]
+
+    def clock_at(k):
+        prod = (k * step_i).astype(jnp.float64)  # exact: |k*step| < 2^53
+        return (start_f + prod).astype(jnp.int64)
+
+    # exact integer division by the static step (lowered to mul+shift);
+    # corrections then absorb the <=256ns f64 jitter of the clock values
+    b = (timestamps - start_i) // step_i
+    b = jnp.where(timestamps <= clock_at(b), b - 1, b)
+    b = jnp.where(timestamps > clock_at(b + 1), b + 1, b)
+    # trade in bin b  <=>  clock[b] < ts <= clock[b+1]; ts <= clock[0] -> b = -1
+    cnt = jnp.zeros((n_clock + 1,), jnp.int64)
+    cnt = cnt.at[jnp.clip(b + 1, 0, n_clock)].add(1)
+    prefix = jnp.cumsum(cnt)  # prefix[k] = #{trades with bin <= k-1}
+    ci = prefix[:n_clock] - 1  # = #{ts <= clock[k]} - 1
+    return ci
+
+
 def time_bar_indexer(timestamps: jnp.ndarray, interval_seconds: float):
     """Vectorized time-bar indexer.
 
@@ -48,9 +81,13 @@ def time_bar_indexer(timestamps: jnp.ndarray, interval_seconds: float):
     stop = last + step + 1.0
     n_clock = int(np.ceil((stop - start) / step))
     clock = (start + np.arange(n_clock, dtype=np.float64) * step).astype(np.int64)
-    clock_j = jnp.asarray(clock)
-    ci = jnp.searchsorted(timestamps, clock_j, side="right").astype(jnp.int64) - 1
-    return clock_j, ci
+    if step == int(step):
+        ci = _time_bar_ci(timestamps, jnp.float64(start), n_clock,
+                          int(step), int(start), 1.0 / step)
+    else:  # fractional-ns interval: fall back to searchsorted
+        ci = jnp.searchsorted(timestamps, jnp.asarray(clock),
+                              side="right").astype(jnp.int64) - 1
+    return jnp.asarray(clock), ci
 
 
 # ---------------------------------------------------------------------------

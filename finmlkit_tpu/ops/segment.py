@@ -22,16 +22,22 @@ import jax.numpy as jnp
 def bar_ids_from_close_indices(ci: jnp.ndarray, n_trades: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Map each trade index to its bar id.
 
+    bar_id(j) = #{k >= 1 : ci[k] < j}. Computed as a scatter of ones at
+    the bar-open positions followed by a prefix sum — O(n) streaming work
+    instead of a searchsorted (whose random gathers are the slowest
+    primitive on TPU).
+
     :param ci: int64 close indices, length n_bars+1; bar i = (ci[i], ci[i+1]].
     :param n_trades: length of the trade axis.
     :returns: (bar_id, valid) — bar_id in [0, n_bars) (clipped for invalid
         trades), valid mask for trades inside some bar.
     """
     idx = jnp.arange(n_trades, dtype=ci.dtype)
-    # first bar whose close index >= trade index
-    bar_id = jnp.searchsorted(ci[1:], idx, side="left")
-    valid = (idx > ci[0]) & (idx <= ci[-1])
     n_bars = ci.shape[0] - 1
+    marks = jnp.zeros((n_trades + 1,), jnp.int32)
+    marks = marks.at[jnp.clip(ci[1:] + 1, 0, n_trades)].add(1)
+    bar_id = jnp.cumsum(marks[:n_trades]).astype(ci.dtype)
+    valid = (idx > ci[0]) & (idx <= ci[-1])
     return jnp.clip(bar_id, 0, n_bars - 1), valid
 
 
@@ -107,10 +113,12 @@ def sorted_segments(values_f32: jnp.ndarray, bar_id: jnp.ndarray, valid: jnp.nda
     return _f32_from_sortable_bits((skey & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
 
 
-def segment_median_sorted(sorted_vals, offsets, counts):
-    """Per-bar median from within-bar-sorted values (numpy median semantics:
-    mean of the two middles for even counts). Zero-count bars return the
-    value at the (clipped) offset — caller must mask them.
+def segment_median_pair(sorted_vals, offsets, counts):
+    """The two middle values per bar from within-bar-sorted values.
+
+    Returned separately so the f64 average (numpy median semantics) can
+    happen host-side — device kernels avoid f64 arithmetic entirely on
+    this TPU (see bar/aggregate_q.py).
     """
     c = counts
     lo = offsets + jnp.maximum(c - 1, 0) // 2
@@ -118,18 +126,42 @@ def segment_median_sorted(sorted_vals, offsets, counts):
     n = sorted_vals.shape[0]
     a = sorted_vals[jnp.clip(lo, 0, n - 1)]
     b = sorted_vals[jnp.clip(hi, 0, n - 1)]
+    return a, b
+
+
+def segment_median_sorted(sorted_vals, offsets, counts):
+    """Per-bar median from within-bar-sorted values (numpy median semantics:
+    mean of the two middles for even counts). Zero-count bars return the
+    value at the (clipped) offset — caller must mask them.
+    """
+    a, b = segment_median_pair(sorted_vals, offsets, counts)
     return (a.astype(jnp.float64) + b.astype(jnp.float64)) * 0.5
+
+
+def segment_quantile_pair(sorted_vals, offsets, counts, q: float):
+    """Bracketing values + integer position for a per-bar quantile.
+
+    The f64 interpolation happens host-side (device kernels avoid f64
+    arithmetic on this TPU). Positions use exact integer arithmetic:
+    pos = q*(c-1) with q = qnum/qden rational.
+    """
+    from fractions import Fraction
+    fr = Fraction(q).limit_denominator(10**6)
+    qnum, qden = fr.numerator, fr.denominator
+    c = counts
+    cm1 = jnp.maximum(c, 1) - 1
+    lo = (cm1 * qnum) // qden  # floor(q*(c-1)) exactly
+    n = sorted_vals.shape[0]
+    a = sorted_vals[jnp.clip(offsets + lo, 0, n - 1)]
+    b = sorted_vals[jnp.clip(offsets + jnp.minimum(lo + 1, cm1), 0, n - 1)]
+    return a, b, lo
 
 
 def segment_quantile_sorted(sorted_vals, offsets, counts, q: float):
     """Per-bar linear-interpolation quantile (numpy ``percentile`` default)
     from within-bar-sorted values. Parity with np.percentile(a, 100*q).
     """
-    c = counts
-    pos = q * (jnp.maximum(c, 1) - 1).astype(jnp.float64)
-    lo = jnp.floor(pos).astype(offsets.dtype)
+    a, b, lo = segment_quantile_pair(sorted_vals, offsets, counts, q)
+    pos = q * (jnp.maximum(counts, 1) - 1).astype(jnp.float64)
     frac = pos - lo.astype(jnp.float64)
-    n = sorted_vals.shape[0]
-    a = sorted_vals[jnp.clip(offsets + lo, 0, n - 1)].astype(jnp.float64)
-    b = sorted_vals[jnp.clip(offsets + jnp.minimum(lo + 1, jnp.maximum(c - 1, 0)), 0, n - 1)].astype(jnp.float64)
-    return a * (1.0 - frac) + b * frac
+    return a.astype(jnp.float64) * (1.0 - frac) + b.astype(jnp.float64) * frac
