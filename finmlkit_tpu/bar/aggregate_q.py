@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.pallas_scan import fast_cumsum
 from ..ops.segment import (
     bar_ids_from_close_indices,
     range_count,
@@ -36,7 +37,7 @@ def _wrap_idx(idx, n):
 
 
 def _range_sum_i64(x_i64, ci):
-    p = jnp.concatenate([jnp.zeros((1,), jnp.int64), jnp.cumsum(x_i64)])
+    p = jnp.concatenate([jnp.zeros((1,), jnp.int64), fast_cumsum(x_i64)])
     return p[ci[1:] + 1] - p[ci[:-1] + 1]
 
 
@@ -114,11 +115,11 @@ def _segment_local_cumsum(contrib_i64, ci, bar_id, n_bars):
     scatter of per-bar sums + one cumsum (no per-trade gathers).
     """
     n = contrib_i64.shape[0]
-    p = jnp.cumsum(contrib_i64)                      # inclusive global prefix
+    p = fast_cumsum(contrib_i64)                     # inclusive global prefix
     totals = _range_sum_i64(contrib_i64, ci)         # per-bar sums
     starts = jnp.clip(ci[:-1] + 1, 0, n - 1)
     deltas = jnp.concatenate([jnp.zeros((1,), jnp.int64), totals[:-1]])
-    base = jnp.cumsum(jnp.zeros((n,), jnp.int64).at[starts].add(deltas))
+    base = fast_cumsum(jnp.zeros((n,), jnp.int64).at[starts].add(deltas))
     return p - base
 
 
@@ -239,7 +240,7 @@ def _trade_size_q_device(amount_units, amounts_f32, thr_units_f32, ci):
     thr_safe = jnp.where(jnp.isfinite(thr_units_f32), thr_units_f32,
                          jnp.float32(3e38))
     deltas = jnp.diff(jnp.concatenate([jnp.zeros((1,), jnp.float32), thr_safe]))
-    thr_t = jnp.cumsum(jnp.zeros((n,), jnp.float32).at[starts].add(deltas))
+    thr_t = fast_cumsum(jnp.zeros((n,), jnp.float32).at[starts].add(deltas))
     over = amount_units.astype(jnp.float32) > thr_t
     block_u = _range_sum_i64(jnp.where(over, amount_units, 0), ci)
 

@@ -52,15 +52,21 @@ def _time_bar_ci(timestamps, start_f, n_clock: int, step_i: int,
         prod = (k * step_i).astype(jnp.float64)  # exact: |k*step| < 2^53
         return (start_f + prod).astype(jnp.int64)
 
-    # exact integer division by the static step (lowered to mul+shift);
-    # corrections then absorb the <=256ns f64 jitter of the clock values
-    b = (timestamps - start_i) // step_i
+    # two-stage f32 reciprocal multiply (int64/f64 division both compile
+    # pathologically on this TPU): stage 1 bins to ~1e-7*n_clock bins,
+    # stage 2 refines on the small residual, then two exact corrections
+    # absorb the <=256ns f64 jitter of the clock values
+    rel = (timestamps - start_i).astype(jnp.float32)
+    b = jnp.floor(rel * jnp.float32(inv_step)).astype(jnp.int64)
+    resid = (timestamps - clock_at(b)).astype(jnp.float32)
+    b = b + jnp.floor(resid * jnp.float32(inv_step)).astype(jnp.int64)
     b = jnp.where(timestamps <= clock_at(b), b - 1, b)
     b = jnp.where(timestamps > clock_at(b + 1), b + 1, b)
     # trade in bin b  <=>  clock[b] < ts <= clock[b+1]; ts <= clock[0] -> b = -1
+    from ..ops.pallas_scan import fast_cumsum
     cnt = jnp.zeros((n_clock + 1,), jnp.int64)
     cnt = cnt.at[jnp.clip(b + 1, 0, n_clock)].add(1)
-    prefix = jnp.cumsum(cnt)  # prefix[k] = #{trades with bin <= k-1}
+    prefix = fast_cumsum(cnt)  # prefix[k] = #{trades with bin <= k-1}
     ci = prefix[:n_clock] - 1  # = #{ts <= clock[k]} - 1
     return ci
 

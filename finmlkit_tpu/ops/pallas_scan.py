@@ -1,0 +1,150 @@
+"""Pallas TPU prefix-sum kernel.
+
+XLA's native cumsum lowering compiles pathologically slowly on this TPU
+(~6s for int32, ~32s for int64, minutes for f64 — per program, any size)
+while executing fine. This kernel sidesteps the XLA scan lowering with an
+explicitly chunked scan: a sequential grid walks (CHUNK_ROWS, LANES)
+blocks, computes a block-local inclusive cumsum, and carries the running
+total across grid steps in a VMEM scratch cell. Compiles in ~1s and runs
+at HBM bandwidth.
+
+int64 inputs are processed as (hi, lo) int32 pairs (Mosaic has no native
+64-bit vector ops): lo accumulates mod 2^32, hi accumulates the signed
+high words plus carries counted from unsigned lo overflow — exact
+two's-complement int64 prefix sums.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_ROWS = 64  # 64*128 = 8192 elements per grid step
+
+
+def _zero_i32():
+    # index_map outputs must stay int32; a bare `0` traces as int64
+    # under jax_enable_x64 and fails Mosaic legalization
+    import numpy as _np
+    return _np.int32(0)
+
+
+def _block_cumsum(x):
+    """Inclusive cumsum of a (R, L) block in row-major order."""
+    r, l = x.shape
+    # within-row inclusive cumsum via log-shifts along lanes
+    import numpy as _np
+    y = x
+    shift = 1
+    while shift < l:
+        y = y + jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (r, l), 1) >= shift,
+            pltpu.roll(y, _np.int32(shift), 1), jnp.zeros_like(y))
+        shift *= 2
+    # add exclusive prefix of row totals to each row
+    totals = y[:, l - 1:l]  # (r, 1)
+    z = totals
+    shift = 1
+    while shift < r:
+        z = z + jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) >= shift,
+            pltpu.roll(z, _np.int32(shift), 0), jnp.zeros_like(z))
+        shift *= 2
+    row_prefix = z - totals  # exclusive
+    return y + row_prefix
+
+
+def _cumsum_kernel(x_ref, o_ref, carry):
+    i = pl.program_id(0)
+    prev = jnp.where(i == 0, jnp.zeros((), o_ref.dtype), carry[0, 0])
+    blk = _block_cumsum(x_ref[...])
+    o_ref[...] = blk + prev
+    carry[0, 0] = prev + blk[_ROWS - 1, _LANES - 1]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _cumsum_2d(x, interpret=False):
+    n_rows = x.shape[0]
+    grid = n_rows // _ROWS
+    return pl.pallas_call(
+        _cumsum_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((_ROWS, _LANES), lambda i: (i, _zero_i32()))],
+        out_specs=pl.BlockSpec((_ROWS, _LANES), lambda i: (i, _zero_i32())),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.SMEM((1, 1), x.dtype)],
+        interpret=interpret,
+    )(x)
+
+
+def _cumsum_kernel_i64(hi_ref, lo_ref, ohi_ref, olo_ref, carry):
+    i = pl.program_id(0)
+    zero = jnp.zeros((), jnp.int32)
+    lo = lo_ref[...]
+    hi = hi_ref[...]
+    lo_sum = _block_cumsum(lo)          # mod 2^32 prefix of low words
+    hi_sum = _block_cumsum(hi)
+    # carries: number of unsigned overflows among low-word partial sums.
+    # overflow happened at step k iff lo_sum[k] (unsigned) < lo[k] (unsigned)
+    bias = jnp.int32(-2147483648)  # compare as unsigned via bias flip
+    ovf = ((lo_sum + bias) < (lo + bias)).astype(jnp.int32)
+    ovf_prefix = _block_cumsum(ovf)
+
+    clo = jnp.where(i == 0, zero, carry[0, 0])
+    chi = jnp.where(i == 0, zero, carry[0, 1])
+    new_lo = lo_sum + clo
+    # adding the carry-in may overflow once more
+    ovf2 = ((new_lo + bias) < (lo_sum + bias)).astype(jnp.int32) * (clo != 0).astype(jnp.int32)
+    olo_ref[...] = new_lo
+    ohi_ref[...] = hi_sum + ovf_prefix + chi + ovf2
+
+    last = _ROWS - 1
+    carry[0, 0] = new_lo[last, _LANES - 1]
+    carry[0, 1] = (hi_sum + ovf_prefix + chi + ovf2)[last, _LANES - 1]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _cumsum_2d_i64(hi, lo, interpret=False):
+    n_rows = hi.shape[0]
+    grid = n_rows // _ROWS
+    return pl.pallas_call(
+        _cumsum_kernel_i64,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((_ROWS, _LANES), lambda i: (i, _zero_i32())),
+                  pl.BlockSpec((_ROWS, _LANES), lambda i: (i, _zero_i32()))],
+        out_specs=[pl.BlockSpec((_ROWS, _LANES), lambda i: (i, _zero_i32())),
+                   pl.BlockSpec((_ROWS, _LANES), lambda i: (i, _zero_i32()))],
+        out_shape=[jax.ShapeDtypeStruct(hi.shape, jnp.int32),
+                   jax.ShapeDtypeStruct(lo.shape, jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((1, 2), jnp.int32)],
+        interpret=interpret,
+    )(hi, lo)
+
+
+def fast_cumsum(x, interpret: bool | None = None):
+    """Inclusive prefix sum via the Pallas chunked-scan kernel.
+
+    Falls back to jnp.cumsum off-TPU (Pallas interpret mode is slower
+    than XLA:CPU's native scan). Input is padded to a block multiple
+    internally; any 1-D int32/int64/float32 array.
+    """
+    if interpret is None:
+        if jax.default_backend() != "tpu":
+            return jnp.cumsum(x)
+        interpret = False
+    n = x.shape[0]
+    block = _ROWS * _LANES
+    pad = (-n) % block
+    xp = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]) if pad else x
+    x2 = xp.reshape(-1, _LANES)
+    if x.dtype == jnp.int64:
+        hi = (xp >> 32).astype(jnp.int32).reshape(-1, _LANES)
+        lo = xp.astype(jnp.uint32).astype(jnp.int32).reshape(-1, _LANES)
+        ohi, olo = _cumsum_2d_i64(hi, lo, interpret=interpret)
+        out = (ohi.reshape(-1).astype(jnp.int64) << 32) | \
+            olo.reshape(-1).astype(jnp.uint32).astype(jnp.int64)
+        return out[:n]
+    out = _cumsum_2d(x2, interpret=interpret).reshape(-1)
+    return out[:n]

@@ -34,9 +34,10 @@ def bar_ids_from_close_indices(ci: jnp.ndarray, n_trades: int) -> tuple[jnp.ndar
     """
     idx = jnp.arange(n_trades, dtype=ci.dtype)
     n_bars = ci.shape[0] - 1
+    from .pallas_scan import fast_cumsum
     marks = jnp.zeros((n_trades + 1,), jnp.int32)
     marks = marks.at[jnp.clip(ci[1:] + 1, 0, n_trades)].add(1)
-    bar_id = jnp.cumsum(marks[:n_trades]).astype(ci.dtype)
+    bar_id = fast_cumsum(marks[:n_trades]).astype(ci.dtype)
     valid = (idx > ci[0]) & (idx <= ci[-1])
     return jnp.clip(bar_id, 0, n_bars - 1), valid
 
@@ -121,8 +122,8 @@ def segment_median_pair(sorted_vals, offsets, counts):
     this TPU (see bar/aggregate_q.py).
     """
     c = counts
-    lo = offsets + jnp.maximum(c - 1, 0) // 2
-    hi = offsets + jnp.maximum(c, 1) // 2
+    lo = offsets + (jnp.maximum(c - 1, 0) >> 1)  # shifts: int64 div is slow on TPU
+    hi = offsets + (jnp.maximum(c, 1) >> 1)
     n = sorted_vals.shape[0]
     a = sorted_vals[jnp.clip(lo, 0, n - 1)]
     b = sorted_vals[jnp.clip(hi, 0, n - 1)]
@@ -150,7 +151,9 @@ def segment_quantile_pair(sorted_vals, offsets, counts, q: float):
     qnum, qden = fr.numerator, fr.denominator
     c = counts
     cm1 = jnp.maximum(c, 1) - 1
-    lo = (cm1 * qnum) // qden  # floor(q*(c-1)) exactly
+    # int32 division (int64 division compiles pathologically on TPU);
+    # exact while qnum*(c-1) < 2^31
+    lo = ((cm1.astype(jnp.int32) * qnum) // qden).astype(cm1.dtype)
     n = sorted_vals.shape[0]
     a = sorted_vals[jnp.clip(offsets + lo, 0, n - 1)]
     b = sorted_vals[jnp.clip(offsets + jnp.minimum(lo + 1, cm1), 0, n - 1)]
