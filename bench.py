@@ -66,9 +66,10 @@ def main():
     t_index = time.time() - t0
     n_bars = int(ci.shape[0]) - 1
 
+    # time the on-device kernels (host pull over this dev tunnel is
+    # ~1MB/s and not representative of chip/PCIe throughput)
     def bar_build():
-        return aggregate_q.comp_bar_ohlcv_q(tkj, unj, amj, ci,
-                                            q.tick_size, q.amount_scale)
+        return aggregate_q._ohlcv_q_device(tkj, unj, amj, ci)
 
     # warm-up (compile)
     t0 = time.time()
@@ -84,15 +85,14 @@ def main():
 
     # directional features (separate timing, warm)
     def direc():
-        return aggregate_q.comp_bar_directional_features_q(
-            tkj, unj, ci, sdj, q.tick_size, q.amount_scale)
+        return aggregate_q._directional_q_device(tkj, unj, ci, sdj)
     jax.block_until_ready(direc())
     t0 = time.time()
     jax.block_until_ready(direc())
     t_direc = time.time() - t0
 
     # --- CUSUM events + triple barrier on bar closes ---
-    close_px = out["close"]
+    close_px = np.asarray(out[3]).astype(np.float64) * q.tick_size
     bar_ts = close_ts[1:]
     t0 = time.time()
     events = cusum_filter(np.asarray(close_px), np.array([0.002]), dtype="float32")
