@@ -1,30 +1,34 @@
 """Integer-exact bar aggregations — the TPU fast path.
 
 Same semantics as :mod:`finmlkit_tpu.bar.aggregate` (the f64 reference
-path used on CPU and in parity tests), recast for this TPU's performance
-profile, where three rules hold:
+path used on CPU and in parity tests), recast for this TPU's measured
+performance profile:
 
 1. integer and f32 ops compile in seconds and run at HBM bandwidth;
-   **any f64 multiply/divide/scan compiles pathologically slowly**
-   (minutes per program) — so device kernels below contain *no* f64 ops;
-2. random gathers (searchsorted, x[bar_id]) are the slowest executing
-   primitive — per-trade values of per-bar quantities are materialized
-   with scatter+cumsum "delta forward-fills" instead of gathers;
-3. int64 prefix sums are exact, including two's-complement wraparound
+   **f64 multiply/divide/scan compile pathologically slowly** (minutes
+   per program) — device kernels below contain no f64 arithmetic;
+2. random gathers (searchsorted, x[bar_id]) execute ~100x slower than
+   streaming ops — per-trade values of per-bar quantities come from
+   scatter + prefix-sum "delta forward-fills" instead of gathers;
+3. XLA's cumsum lowering is the worst compile offender, and a Pallas
+   kernel nested inside a larger jit hangs the compiler — so prefix
+   sums run through :func:`finmlkit_tpu.ops.pallas_scan.fast_cumsum_cols`
+   as **top-level stage boundaries**: each aggregation is a short
+   pipeline ``jit pre -> pallas multi-column scan -> jit post``;
+4. int64 prefix sums are exact, including two's-complement wraparound
    (differences at bar boundaries stay exact while any single bar's
    total fits int64).
 
-Device kernels return *raw integer* per-bar outputs; thin host wrappers
-(`comp_bar_*_q`) convert to the reference's price/amount units with
-numpy f64 on (tiny) per-bar arrays.
+Device stages return raw integer per-bar outputs; the public
+``comp_bar_*_q`` wrappers convert to price/amount units host-side with
+numpy f64 on tiny per-bar arrays.
 """
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.pallas_scan import fast_cumsum
+from ..ops.pallas_scan import fast_cumsum_cols
 from ..ops.segment import (
-    bar_ids_from_close_indices,
     range_count,
     segment_median_pair,
     segment_quantile_pair,
@@ -36,29 +40,51 @@ def _wrap_idx(idx, n):
     return jnp.where(idx < 0, idx + n, idx)
 
 
-def _range_sum_i64(x_i64, ci):
-    p = jnp.concatenate([jnp.zeros((1,), jnp.int64), fast_cumsum(x_i64)])
-    return p[ci[1:] + 1] - p[ci[:-1] + 1]
+def _marks_row(ci, n, dtype):
+    """Ones at bar-open positions; prefix sum of this row = bar_id."""
+    pos = ci[1:] + 1
+    val = jnp.where(pos < n, jnp.ones((), dtype), jnp.zeros((), dtype))
+    return jnp.zeros((n,), dtype).at[jnp.clip(pos, 0, n - 1)].add(val)
 
 
-def _single_trade_bar_mask(ci, n):
-    """Per-trade mask of trades that form a one-trade bar (gather-free)."""
-    one = jnp.diff(ci) == 1
-    pos = jnp.where(one, ci[1:], n)  # close index of each single-trade bar
-    m = jnp.zeros((n + 1,), jnp.bool_).at[jnp.clip(pos, 0, n)].set(True)
-    return m[:n]
+def _rsum(P_incl, ci):
+    """Per-bar sum over (ci[i], ci[i+1]] from an inclusive prefix row."""
+    n = P_incl.shape[0]
+    hi = P_incl[jnp.clip(ci[1:], 0, n - 1)]
+    lo_idx = ci[:-1]
+    lo = jnp.where(lo_idx >= 0, P_incl[jnp.clip(lo_idx, 0, n - 1)], 0)
+    return hi - lo
+
+
+def _bar_axis(P_marks, ci, n):
+    n_bars = ci.shape[0] - 1
+    idx = jnp.arange(n, dtype=ci.dtype)
+    bar_id = jnp.clip(P_marks, 0, n_bars - 1).astype(ci.dtype)
+    valid = (idx > ci[0]) & (idx <= ci[-1])
+    return bar_id, valid
+
+
+# ---------------------------------------------------------------------------
+# OHLCV
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _ohlcv_pre(price_ticks, amount_units, ci):
+    n = price_ticks.shape[0]
+    dollars = price_ticks.astype(jnp.int64) * amount_units
+    marks = _marks_row(ci, n, jnp.int64)
+    return jnp.stack([amount_units, dollars, marks])
 
 
 @jax.jit
-def _ohlcv_q_device(price_ticks, amount_units, amounts_f32, ci):
+def _ohlcv_post(price_ticks, amounts_f32, ci, P):
     n = price_ticks.shape[0]
     n_bars = ci.shape[0] - 1
-    bar_id, valid = bar_ids_from_close_indices(ci, n)
+    bar_id, valid = _bar_axis(P[2], ci, n)
 
     counts = range_count(ci)
     end_idx = _wrap_idx(ci[1:], n)
     first_idx = _wrap_idx(jnp.minimum(ci[:-1] + 1, n - 1), n)
-
     close_t = price_ticks[end_idx]
     open_t = jnp.where(counts == 0, close_t, price_ticks[first_idx])
 
@@ -72,22 +98,32 @@ def _ohlcv_q_device(price_ticks, amount_units, amounts_f32, ci):
     high_t = jnp.where(counts == 0, close_t, high_t)
     low_t = jnp.where(counts == 0, close_t, low_t)
 
-    vol_u = _range_sum_i64(amount_units, ci)
-    dollar_u = _range_sum_i64(price_ticks.astype(jnp.int64) * amount_units, ci)
+    vol_u = _rsum(P[0], ci)
+    dollar_u = _rsum(P[1], ci)
 
     sorted_amt = sorted_segments(amounts_f32, bar_id, valid, n_bars)
     offsets = ci[:-1] - ci[0]
     med_a, med_b = segment_median_pair(sorted_amt, offsets, counts)
-
     return open_t, high_t, low_t, close_t, vol_u, dollar_u, counts, med_a, med_b
+
+
+def ohlcv_q_device(price_ticks, amount_units, amounts_f32, ci):
+    """On-device OHLCV pipeline; returns raw integer device arrays."""
+    stacked = _ohlcv_pre(price_ticks, amount_units, ci)
+    P = fast_cumsum_cols(stacked)
+    return _ohlcv_post(price_ticks, amounts_f32, ci, P)
+
+
+# kept name for callers/benches
+_ohlcv_q_device = ohlcv_q_device
 
 
 def comp_bar_ohlcv_q(price_ticks, amount_units, amounts_f32, ci,
                      tick_size, amount_scale):
     """Integer-exact OHLCV; unit conversion happens host-side in f64."""
-    raw = _ohlcv_q_device(price_ticks, amount_units, amounts_f32, ci)
+    raw = ohlcv_q_device(price_ticks, amount_units, amounts_f32, ci)
     (open_t, high_t, low_t, close_t, vol_u, dollar_u, counts,
-     med_a, med_b) = map(np.asarray, raw)
+     med_a, med_b) = jax.device_get(raw)
     median = (med_a.astype(np.float64) + med_b.astype(np.float64)) * 0.5
     ts, asc = float(tick_size), float(amount_scale)
     empty = counts == 0
@@ -107,85 +143,130 @@ def comp_bar_ohlcv_q(price_ticks, amount_units, amounts_f32, ci,
     }
 
 
-def _segment_local_cumsum(contrib_i64, ci, bar_id, n_bars):
-    """Within-bar running cumsum, gather-free.
+# ---------------------------------------------------------------------------
+# Directional features
+# ---------------------------------------------------------------------------
 
-    global prefix P minus a forward-filled per-bar base; the base deltas
-    at bar starts are exactly the previous bar's totals, so the fill is a
-    scatter of per-bar sums + one cumsum (no per-trade gathers).
-    """
-    n = contrib_i64.shape[0]
-    p = fast_cumsum(contrib_i64)                     # inclusive global prefix
-    totals = _range_sum_i64(contrib_i64, ci)         # per-bar sums
-    starts = jnp.clip(ci[:-1] + 1, 0, n - 1)
-    deltas = jnp.concatenate([jnp.zeros((1,), jnp.int64), totals[:-1]])
-    base = fast_cumsum(jnp.zeros((n,), jnp.int64).at[starts].add(deltas))
-    return p - base
+def _single_trade_bar_mask(ci, n):
+    """Per-trade mask of trades that form a one-trade bar (gather-free)."""
+    one = jnp.diff(ci) == 1
+    pos = jnp.where(one, ci[1:], n)
+    m = jnp.zeros((n + 1,), jnp.bool_).at[jnp.clip(pos, 0, n)].set(True)
+    return m[:n]
 
 
 @jax.jit
-def _directional_q_device(price_ticks, amount_units, ci, sides):
+def _directional_pre(price_ticks, amount_units, ci, sides):
+    """Rows to scan (i64): [vol_buy, vol_sell, dol_buy, dol_sell, spread,
+    s*units, s*dollars, s, ticks_buy, ticks_sell, marks]."""
     n = price_ticks.shape[0]
-    n_bars = ci.shape[0] - 1
-    bar_id, valid = bar_ids_from_close_indices(ci, n)
+    s64 = sides.astype(jnp.int64)
+    is_buy = s64 == 1
+    is_sell = s64 == -1
+    dollars = price_ticks.astype(jnp.int64) * amount_units
 
-    s = sides.astype(jnp.int64)
-    is_buy = s == 1
-    is_sell = s == -1
-    dollars_u = price_ticks.astype(jnp.int64) * amount_units
-
-    def rsum(x):
-        return _range_sum_i64(x, ci)
-
-    ticks_buy = rsum(is_buy.astype(jnp.int64))
-    ticks_sell = rsum(is_sell.astype(jnp.int64))
-    volume_buy_u = rsum(jnp.where(is_buy, amount_units, 0))
-    volume_sell_u = rsum(jnp.where(is_sell, amount_units, 0))
-    dollars_buy_u = rsum(jnp.where(is_buy, dollars_u, 0))
-    dollars_sell_u = rsum(jnp.where(is_sell, dollars_u, 0))
-
-    # --- spreads on integer tick diffs (single-trade bars via scatter) ---
-    prev_side = jnp.roll(s, 1)
+    prev_side = jnp.roll(sides, 1)
     prev_ticks = jnp.roll(price_ticks, 1)
+    idx = jnp.arange(n, dtype=jnp.int64)
+    valid = (idx > ci[0]) & (idx <= ci[-1])
     single = valid & _single_trade_bar_mask(ci, n)
-    sign_change = jnp.where(single, s != 0, s != prev_side)
-    spread_t = jnp.where(sign_change,
-                         jnp.abs(price_ticks.astype(jnp.int64)
-                                 - prev_ticks.astype(jnp.int64)), 0)
-    max_spread_t = jax.ops.segment_max(
-        jnp.where(valid, spread_t, jnp.int64(-1)), bar_id,
-        num_segments=n_bars, indices_are_sorted=True)
-    max_spread_t = jnp.maximum(max_spread_t, 0)
-    cum_spread_t = rsum(spread_t)
+    sign_change = jnp.where(single, sides != 0, sides != prev_side)
+    spread = jnp.where(sign_change,
+                       jnp.abs(price_ticks.astype(jnp.int64)
+                               - prev_ticks.astype(jnp.int64)), 0)
 
-    # --- running cum-imbalance extrema (gather-free local cumsums) ---
-    def extrema(contrib_i64):
-        local = _segment_local_cumsum(jnp.where(valid, contrib_i64, 0),
-                                      ci, bar_id, n_bars)
-        m = valid & (s != 0)
-        big = jnp.iinfo(jnp.int64)
+    sv = jnp.where(valid, s64, 0)
+    rows = jnp.stack([
+        jnp.where(is_buy, amount_units, 0),
+        jnp.where(is_sell, amount_units, 0),
+        jnp.where(is_buy, dollars, 0),
+        jnp.where(is_sell, dollars, 0),
+        spread,
+        sv * amount_units,
+        sv * dollars,
+        sv,
+        is_buy.astype(jnp.int64),
+        is_sell.astype(jnp.int64),
+        _marks_row(ci, n, jnp.int64),
+    ])
+    return rows
+
+
+@jax.jit
+def _directional_mid(P, ci):
+    """Base-fill delta rows for the 3 running-cum extrema: the per-bar
+    base equals the global prefix at each bar's anchor, reconstructed
+    gather-free as a scatter of previous-bar totals + prefix sum."""
+    n = P.shape[1]
+    starts = jnp.clip(ci[:-1] + 1, 0, n - 1)
+
+    def delta_row(row):
+        totals = _rsum(row, ci)
+        deltas = jnp.concatenate([jnp.zeros((1,), jnp.int64), totals[:-1]])
+        return jnp.zeros((n,), jnp.int64).at[starts].add(deltas)
+
+    return jnp.stack([delta_row(P[7]), delta_row(P[5]), delta_row(P[6])])
+
+
+@jax.jit
+def _directional_post(P, B, ci, sides):
+    n = P.shape[1]
+    n_bars = ci.shape[0] - 1
+    bar_id, valid = _bar_axis(P[10], ci, n)
+
+    ticks_buy = _rsum(P[8], ci)
+    ticks_sell = _rsum(P[9], ci)
+    volume_buy_u = _rsum(P[0], ci)
+    volume_sell_u = _rsum(P[1], ci)
+    dollars_buy_u = _rsum(P[2], ci)
+    dollars_sell_u = _rsum(P[3], ci)
+    cum_spread_t = _rsum(P[4], ci)
+
+    big = jnp.iinfo(jnp.int64)
+
+    def extrema(prefix_row, base_row):
+        local = prefix_row - base_row
+        m = valid & (sides != 0)
         mx = jax.ops.segment_max(jnp.where(m, local, big.min), bar_id,
                                  num_segments=n_bars, indices_are_sorted=True)
         mn = jax.ops.segment_min(jnp.where(m, local, big.max), bar_id,
                                  num_segments=n_bars, indices_are_sorted=True)
         return mn, mx
 
-    ct_min, ct_max = extrema(s)
-    cvu_min, cvu_max = extrema(jnp.where(s != 0, s * amount_units, 0))
-    cdu_min, cdu_max = extrema(jnp.where(s != 0, s * dollars_u, 0))
+    ct_min, ct_max = extrema(P[7], B[0])
+    cvu_min, cvu_max = extrema(P[5], B[1])
+    cdu_min, cdu_max = extrema(P[6], B[2])
+
+    # per-trade spread back from its prefix row (shift-subtract, no gather)
+    spread_t = P[4] - jnp.concatenate([jnp.zeros((1,), jnp.int64), P[4][:-1]])
+    max_spread_t = jax.ops.segment_max(
+        jnp.where(valid, spread_t, jnp.int64(-1)), bar_id,
+        num_segments=n_bars, indices_are_sorted=True)
+    max_spread_t = jnp.maximum(max_spread_t, 0)
 
     return (ticks_buy, ticks_sell, volume_buy_u, volume_sell_u,
             dollars_buy_u, dollars_sell_u, max_spread_t, cum_spread_t,
             ct_min, ct_max, cvu_min, cvu_max, cdu_min, cdu_max)
 
 
+def directional_q_device(price_ticks, amount_units, ci, sides):
+    """On-device directional pipeline; returns raw integer device arrays."""
+    rows = _directional_pre(price_ticks, amount_units, ci, sides)
+    P = fast_cumsum_cols(rows)
+    B = fast_cumsum_cols(_directional_mid(P, ci))
+    return _directional_post(P, B, ci, sides)
+
+
+_directional_q_device = directional_q_device
+
+
 def comp_bar_directional_features_q(price_ticks, amount_units, ci, sides,
                                     tick_size, amount_scale):
     """Integer-exact directional features; host-side unit conversion."""
-    raw = _directional_q_device(price_ticks, amount_units, ci, sides)
+    raw = directional_q_device(price_ticks, amount_units, ci, sides)
     (ticks_buy, ticks_sell, volume_buy_u, volume_sell_u, dollars_buy_u,
      dollars_sell_u, max_spread_t, cum_spread_t, ct_min, ct_max,
-     cvu_min, cvu_max, cdu_min, cdu_max) = map(np.asarray, raw)
+     cvu_min, cvu_max, cdu_min, cdu_max) = jax.device_get(raw)
 
     ts, asc = float(tick_size), float(amount_scale)
     big64 = np.iinfo(np.int64)
@@ -224,30 +305,41 @@ def comp_bar_directional_features_q(price_ticks, amount_units, ci, sides,
     }
 
 
+# ---------------------------------------------------------------------------
+# Trade-size features
+# ---------------------------------------------------------------------------
+
 @jax.jit
-def _trade_size_q_device(amount_units, amounts_f32, thr_units_f32, ci):
-    """thr_units_f32: per-bar block threshold in amount units (f32;
-    +inf disables). Gather-free per-trade thresholds via delta fill."""
+def _trade_size_pre(amount_units, thr_units_f32_bars, ci):
+    """Rows: i64 [units, marks]; f32 per-trade threshold delta row."""
     n = amount_units.shape[0]
-    n_bars = ci.shape[0] - 1
-    bar_id, valid = bar_ids_from_close_indices(ci, n)
-    counts = range_count(ci)
-
-    total_u = _range_sum_i64(amount_units, ci)
-
-    # per-trade threshold: forward-fill per-bar values by scatter deltas
+    marks = _marks_row(ci, n, jnp.int64)
     starts = jnp.clip(ci[:-1] + 1, 0, n - 1)
-    thr_safe = jnp.where(jnp.isfinite(thr_units_f32), thr_units_f32,
+    thr_safe = jnp.where(jnp.isfinite(thr_units_f32_bars), thr_units_f32_bars,
                          jnp.float32(3e38))
     deltas = jnp.diff(jnp.concatenate([jnp.zeros((1,), jnp.float32), thr_safe]))
-    thr_t = fast_cumsum(jnp.zeros((n,), jnp.float32).at[starts].add(deltas))
-    over = amount_units.astype(jnp.float32) > thr_t
-    block_u = _range_sum_i64(jnp.where(over, amount_units, 0), ci)
+    thr_row = jnp.zeros((n,), jnp.float32).at[starts].add(deltas)
+    return jnp.stack([amount_units, marks]), thr_row[None, :]
 
+
+@jax.jit
+def _trade_size_block_row(amount_units, thr_t):
+    over = amount_units.astype(jnp.float32) > thr_t[0]
+    return jnp.where(over, amount_units, 0)[None, :]
+
+
+@jax.jit
+def _trade_size_post(amounts_f32, ci, P, PB):
+    n = amounts_f32.shape[0]
+    n_bars = ci.shape[0] - 1
+    bar_id, valid = _bar_axis(P[1], ci, n)
+    counts = range_count(ci)
+
+    total_u = _rsum(P[0], ci)
+    block_u = _rsum(PB[0], ci)
     sq = amounts_f32 * amounts_f32
     sumsq = jax.ops.segment_sum(jnp.where(valid, sq, 0.0), bar_id,
                                 num_segments=n_bars, indices_are_sorted=True)
-
     sorted_amt = sorted_segments(amounts_f32, bar_id, valid, n_bars)
     offsets = ci[:-1] - ci[0]
     q_a, q_b, q_lo = segment_quantile_pair(sorted_amt, offsets, counts, 0.95)
@@ -260,9 +352,15 @@ def comp_bar_trade_size_features_q(amount_units, amounts_f32, theta, ci,
     theta = np.asarray(theta, np.float64)
     thr = theta * float(theta_mult)
     thr_units = np.where(thr > 0, thr / float(amount_scale), np.inf)
-    total_u, block_u, sumsq, q_a, q_b, q_lo, counts = map(
-        np.asarray, _trade_size_q_device(
-            amount_units, amounts_f32, jnp.asarray(thr_units, jnp.float32), ci))
+
+    stacked, thr_row = _trade_size_pre(
+        amount_units, jnp.asarray(thr_units, jnp.float32), ci)
+    P = fast_cumsum_cols(stacked)
+    thr_t = fast_cumsum_cols(thr_row)
+    PB = fast_cumsum_cols(_trade_size_block_row(amount_units, thr_t))
+    raw = _trade_size_post(amounts_f32, ci, P, PB)
+    total_u, block_u, sumsq, q_a, q_b, q_lo, counts = jax.device_get(raw)
+
     pos = 0.95 * (np.maximum(counts, 1) - 1).astype(np.float64)
     frac = pos - q_lo
     p95 = q_a.astype(np.float64) * (1.0 - frac) + q_b.astype(np.float64) * frac

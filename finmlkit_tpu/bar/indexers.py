@@ -35,7 +35,7 @@ import numpy as np
 @partial(jax.jit, static_argnames=("n_clock", "step_i", "start_i", "inv_step"))
 def _time_bar_ci(timestamps, start_f, n_clock: int, step_i: int,
                  start_i: int, inv_step: float):
-    """Close indices via elementwise binning + scatter counts.
+    """Per-clock-bin trade counts via elementwise binning + scatter.
 
     Avoids both searchsorted (random gathers — the slowest TPU executing
     primitive) and f64 multiply/divide (pathological compile times on
@@ -63,12 +63,8 @@ def _time_bar_ci(timestamps, start_f, n_clock: int, step_i: int,
     b = jnp.where(timestamps <= clock_at(b), b - 1, b)
     b = jnp.where(timestamps > clock_at(b + 1), b + 1, b)
     # trade in bin b  <=>  clock[b] < ts <= clock[b+1]; ts <= clock[0] -> b = -1
-    from ..ops.pallas_scan import fast_cumsum
     cnt = jnp.zeros((n_clock + 1,), jnp.int64)
-    cnt = cnt.at[jnp.clip(b + 1, 0, n_clock)].add(1)
-    prefix = fast_cumsum(cnt)  # prefix[k] = #{trades with bin <= k-1}
-    ci = prefix[:n_clock] - 1  # = #{ts <= clock[k]} - 1
-    return ci
+    return cnt.at[jnp.clip(b + 1, 0, n_clock)].add(1)
 
 
 def time_bar_indexer(timestamps: jnp.ndarray, interval_seconds: float):
@@ -88,8 +84,12 @@ def time_bar_indexer(timestamps: jnp.ndarray, interval_seconds: float):
     n_clock = int(np.ceil((stop - start) / step))
     clock = (start + np.arange(n_clock, dtype=np.float64) * step).astype(np.int64)
     if step == int(step):
-        ci = _time_bar_ci(timestamps, jnp.float64(start), n_clock,
-                          int(step), int(start), 1.0 / step)
+        # jit bin-count stage, then the Pallas scan as a top-level call
+        # (a Pallas kernel nested inside a jit hangs the TPU compiler)
+        from ..ops.pallas_scan import fast_cumsum
+        cnt = _time_bar_ci(timestamps, jnp.float64(start), n_clock,
+                           int(step), int(start), 1.0 / step)
+        ci = fast_cumsum(cnt)[:n_clock] - 1  # #{ts <= clock[k]} - 1
     else:  # fractional-ns interval: fall back to searchsorted
         ci = jnp.searchsorted(timestamps, jnp.asarray(clock),
                               side="right").astype(jnp.int64) - 1

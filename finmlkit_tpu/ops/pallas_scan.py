@@ -148,3 +148,95 @@ def fast_cumsum(x, interpret: bool | None = None):
         return out[:n]
     out = _cumsum_2d(x2, interpret=interpret).reshape(-1)
     return out[:n]
+
+
+# ---------------------------------------------------------------------------
+# Multi-column variant: one kernel call scans C independent columns
+# ---------------------------------------------------------------------------
+
+def _cumsum_kernel_cols(x_ref, o_ref, carry):
+    i = pl.program_id(1)  # chunk index within the current column
+    prev = jnp.where(i == 0, jnp.zeros((), o_ref.dtype), carry[0, 0])
+    blk = _block_cumsum(x_ref[0])
+    o_ref[0] = blk + prev
+    carry[0, 0] = prev + blk[_ROWS - 1, _LANES - 1]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _cumsum_3d(x, interpret=False):
+    c, n_rows, _ = x.shape
+    grid = (c, n_rows // _ROWS)
+    zero = _zero_i32()
+    return pl.pallas_call(
+        _cumsum_kernel_cols,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, _ROWS, _LANES), lambda ci_, i: (ci_, i, zero))],
+        out_specs=pl.BlockSpec((1, _ROWS, _LANES), lambda ci_, i: (ci_, i, zero)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.SMEM((1, 1), x.dtype)],
+        interpret=interpret,
+    )(x)
+
+
+def _cumsum_kernel_cols_i64(hi_ref, lo_ref, ohi_ref, olo_ref, carry):
+    i = pl.program_id(1)
+    zero = jnp.zeros((), jnp.int32)
+    lo = lo_ref[0]
+    hi = hi_ref[0]
+    lo_sum = _block_cumsum(lo)
+    hi_sum = _block_cumsum(hi)
+    bias = jnp.int32(-2147483648)
+    ovf = ((lo_sum + bias) < (lo + bias)).astype(jnp.int32)
+    ovf_prefix = _block_cumsum(ovf)
+    clo = jnp.where(i == 0, zero, carry[0, 0])
+    chi = jnp.where(i == 0, zero, carry[0, 1])
+    new_lo = lo_sum + clo
+    ovf2 = ((new_lo + bias) < (lo_sum + bias)).astype(jnp.int32) * (clo != 0).astype(jnp.int32)
+    olo_ref[0] = new_lo
+    new_hi = hi_sum + ovf_prefix + chi + ovf2
+    ohi_ref[0] = new_hi
+    last = _ROWS - 1
+    carry[0, 0] = new_lo[last, _LANES - 1]
+    carry[0, 1] = new_hi[last, _LANES - 1]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _cumsum_3d_i64(hi, lo, interpret=False):
+    c, n_rows, _ = hi.shape
+    grid = (c, n_rows // _ROWS)
+    zero = _zero_i32()
+    spec = pl.BlockSpec((1, _ROWS, _LANES), lambda ci_, i: (ci_, i, zero))
+    return pl.pallas_call(
+        _cumsum_kernel_cols_i64,
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct(hi.shape, jnp.int32),
+                   jax.ShapeDtypeStruct(lo.shape, jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((1, 2), jnp.int32)],
+        interpret=interpret,
+    )(hi, lo)
+
+
+def fast_cumsum_cols(x, interpret: bool | None = None):
+    """Columnwise inclusive prefix sums: x is (C, n); each row scanned
+    independently in ONE kernel launch. Same dtype support and TPU-only
+    policy as :func:`fast_cumsum`.
+    """
+    if interpret is None:
+        if jax.default_backend() != "tpu":
+            return jnp.cumsum(x, axis=1)
+        interpret = False
+    c, n = x.shape
+    block = _ROWS * _LANES
+    pad = (-n) % block
+    xp = jnp.concatenate([x, jnp.zeros((c, pad), x.dtype)], axis=1) if pad else x
+    if x.dtype == jnp.int64:
+        hi = (xp >> 32).astype(jnp.int32).reshape(c, -1, _LANES)
+        lo = xp.astype(jnp.uint32).astype(jnp.int32).reshape(c, -1, _LANES)
+        ohi, olo = _cumsum_3d_i64(hi, lo, interpret=interpret)
+        out = (ohi.reshape(c, -1).astype(jnp.int64) << 32) | \
+            olo.reshape(c, -1).astype(jnp.uint32).astype(jnp.int64)
+        return out[:, :n]
+    out = _cumsum_3d(xp.reshape(c, -1, _LANES), interpret=interpret).reshape(c, -1)
+    return out[:, :n]

@@ -32,12 +32,16 @@ def bar_ids_from_close_indices(ci: jnp.ndarray, n_trades: int) -> tuple[jnp.ndar
     :returns: (bar_id, valid) — bar_id in [0, n_bars) (clipped for invalid
         trades), valid mask for trades inside some bar.
     """
+    # NOTE: plain jnp.cumsum here — this helper is used *inside* larger
+    # jits (f64 reference path, footprints, shard_map), where a nested
+    # Pallas call would hang the TPU compiler. The TPU fast path in
+    # bar/aggregate_q.py computes bar ids via its own top-level
+    # fast_cumsum_cols stage instead.
     idx = jnp.arange(n_trades, dtype=ci.dtype)
     n_bars = ci.shape[0] - 1
-    from .pallas_scan import fast_cumsum
     marks = jnp.zeros((n_trades + 1,), jnp.int32)
     marks = marks.at[jnp.clip(ci[1:] + 1, 0, n_trades)].add(1)
-    bar_id = fast_cumsum(marks[:n_trades]).astype(ci.dtype)
+    bar_id = jnp.cumsum(marks[:n_trades]).astype(ci.dtype)
     valid = (idx > ci[0]) & (idx <= ci[-1])
     return jnp.clip(bar_id, 0, n_bars - 1), valid
 
