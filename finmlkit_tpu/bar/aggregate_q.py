@@ -157,8 +157,10 @@ def _single_trade_bar_mask(ci, n):
 
 @jax.jit
 def _directional_pre(price_ticks, amount_units, ci, sides):
-    """Rows to scan (i64): [vol_buy, vol_sell, dol_buy, dol_sell, spread,
-    s*units, s*dollars, s, ticks_buy, ticks_sell, marks]."""
+    """Scan rows split by dtype (HBM economy at 39M trades):
+    i64 [vol_buy, vol_sell, dol_buy, dol_sell, s*units, s*dollars];
+    i32 [spread, s, ticks_buy, ticks_sell, marks] (within-bar totals all
+    fit int32; wraparound prefix diffs stay exact)."""
     n = price_ticks.shape[0]
     s64 = sides.astype(jnp.int64)
     is_buy = s64 == 1
@@ -171,60 +173,62 @@ def _directional_pre(price_ticks, amount_units, ci, sides):
     valid = (idx > ci[0]) & (idx <= ci[-1])
     single = valid & _single_trade_bar_mask(ci, n)
     sign_change = jnp.where(single, sides != 0, sides != prev_side)
-    spread = jnp.where(sign_change,
-                       jnp.abs(price_ticks.astype(jnp.int64)
-                               - prev_ticks.astype(jnp.int64)), 0)
+    spread32 = jnp.where(sign_change,
+                         jnp.abs(price_ticks - prev_ticks), 0).astype(jnp.int32)
 
     sv = jnp.where(valid, s64, 0)
-    rows = jnp.stack([
+    rows64 = jnp.stack([
         jnp.where(is_buy, amount_units, 0),
         jnp.where(is_sell, amount_units, 0),
         jnp.where(is_buy, dollars, 0),
         jnp.where(is_sell, dollars, 0),
-        spread,
         sv * amount_units,
         sv * dollars,
-        sv,
-        is_buy.astype(jnp.int64),
-        is_sell.astype(jnp.int64),
-        _marks_row(ci, n, jnp.int64),
     ])
-    return rows
+    rows32 = jnp.stack([
+        spread32,
+        sv.astype(jnp.int32),
+        is_buy.astype(jnp.int32),
+        is_sell.astype(jnp.int32),
+        _marks_row(ci, n, jnp.int32),
+    ])
+    return rows64, rows32
 
 
 @jax.jit
-def _directional_mid(P, ci):
+def _directional_mid(P64, P32, ci):
     """Base-fill delta rows for the 3 running-cum extrema: the per-bar
     base equals the global prefix at each bar's anchor, reconstructed
     gather-free as a scatter of previous-bar totals + prefix sum."""
-    n = P.shape[1]
+    n = P64.shape[1]
     starts = jnp.clip(ci[:-1] + 1, 0, n - 1)
 
     def delta_row(row):
         totals = _rsum(row, ci)
-        deltas = jnp.concatenate([jnp.zeros((1,), jnp.int64), totals[:-1]])
-        return jnp.zeros((n,), jnp.int64).at[starts].add(deltas)
+        deltas = jnp.concatenate([jnp.zeros((1,), row.dtype), totals[:-1]])
+        return jnp.zeros((n,), row.dtype).at[starts].add(deltas)
 
-    return jnp.stack([delta_row(P[7]), delta_row(P[5]), delta_row(P[6])])
+    b64 = jnp.stack([delta_row(P64[4]), delta_row(P64[5])])
+    b32 = delta_row(P32[1])[None, :]
+    return b64, b32
 
 
 @jax.jit
-def _directional_post(P, B, ci, sides):
-    n = P.shape[1]
+def _directional_post(P64, P32, B64, B32, ci, sides):
+    n = P64.shape[1]
     n_bars = ci.shape[0] - 1
-    bar_id, valid = _bar_axis(P[10], ci, n)
+    bar_id, valid = _bar_axis(P32[4], ci, n)
 
-    ticks_buy = _rsum(P[8], ci)
-    ticks_sell = _rsum(P[9], ci)
-    volume_buy_u = _rsum(P[0], ci)
-    volume_sell_u = _rsum(P[1], ci)
-    dollars_buy_u = _rsum(P[2], ci)
-    dollars_sell_u = _rsum(P[3], ci)
-    cum_spread_t = _rsum(P[4], ci)
-
-    big = jnp.iinfo(jnp.int64)
+    ticks_buy = _rsum(P32[2], ci).astype(jnp.int64)
+    ticks_sell = _rsum(P32[3], ci).astype(jnp.int64)
+    volume_buy_u = _rsum(P64[0], ci)
+    volume_sell_u = _rsum(P64[1], ci)
+    dollars_buy_u = _rsum(P64[2], ci)
+    dollars_sell_u = _rsum(P64[3], ci)
+    cum_spread_t = _rsum(P32[0], ci).astype(jnp.int64)
 
     def extrema(prefix_row, base_row):
+        big = jnp.iinfo(prefix_row.dtype)
         local = prefix_row - base_row
         m = valid & (sides != 0)
         mx = jax.ops.segment_max(jnp.where(m, local, big.min), bar_id,
@@ -233,16 +237,16 @@ def _directional_post(P, B, ci, sides):
                                  num_segments=n_bars, indices_are_sorted=True)
         return mn, mx
 
-    ct_min, ct_max = extrema(P[7], B[0])
-    cvu_min, cvu_max = extrema(P[5], B[1])
-    cdu_min, cdu_max = extrema(P[6], B[2])
+    ct_min, ct_max = extrema(P32[1], B32[0])
+    cvu_min, cvu_max = extrema(P64[4], B64[0])
+    cdu_min, cdu_max = extrema(P64[5], B64[1])
 
     # per-trade spread back from its prefix row (shift-subtract, no gather)
-    spread_t = P[4] - jnp.concatenate([jnp.zeros((1,), jnp.int64), P[4][:-1]])
+    spread_t = P32[0] - jnp.concatenate([jnp.zeros((1,), jnp.int32), P32[0][:-1]])
     max_spread_t = jax.ops.segment_max(
-        jnp.where(valid, spread_t, jnp.int64(-1)), bar_id,
+        jnp.where(valid, spread_t, jnp.int32(-1)), bar_id,
         num_segments=n_bars, indices_are_sorted=True)
-    max_spread_t = jnp.maximum(max_spread_t, 0)
+    max_spread_t = jnp.maximum(max_spread_t, 0).astype(jnp.int64)
 
     return (ticks_buy, ticks_sell, volume_buy_u, volume_sell_u,
             dollars_buy_u, dollars_sell_u, max_spread_t, cum_spread_t,
@@ -251,10 +255,17 @@ def _directional_post(P, B, ci, sides):
 
 def directional_q_device(price_ticks, amount_units, ci, sides):
     """On-device directional pipeline; returns raw integer device arrays."""
-    rows = _directional_pre(price_ticks, amount_units, ci, sides)
-    P = fast_cumsum_cols(rows)
-    B = fast_cumsum_cols(_directional_mid(P, ci))
-    return _directional_post(P, B, ci, sides)
+    rows64, rows32 = _directional_pre(price_ticks, amount_units, ci, sides)
+    P64 = fast_cumsum_cols(rows64)
+    del rows64
+    P32 = fast_cumsum_cols(rows32)
+    del rows32
+    b64, b32 = _directional_mid(P64, P32, ci)
+    B64 = fast_cumsum_cols(b64)
+    del b64
+    B32 = fast_cumsum_cols(b32)
+    del b32
+    return _directional_post(P64, P32, B64, B32, ci, sides)
 
 
 _directional_q_device = directional_q_device
@@ -284,8 +295,11 @@ def comp_bar_directional_features_q(price_ticks, amount_units, ci, sides,
 
     cv_min, cv_max = scale_minmax(cvu_min, cvu_max, asc)
     cd_min, cd_max = scale_minmax(cdu_min, cdu_max, asc * ts)
-    ct_min_o = np.where(ct_min == big64.max, 10**9, np.minimum(ct_min, 10**9))
-    ct_max_o = np.where(ct_max == big64.min, -10**9, np.maximum(ct_max, -10**9))
+    big32 = np.iinfo(np.int32)
+    ct_min_o = np.where(ct_min == big32.max, 10**9,
+                        np.minimum(ct_min.astype(np.int64), 10**9))
+    ct_max_o = np.where(ct_max == big32.min, -10**9,
+                        np.maximum(ct_max.astype(np.int64), -10**9))
 
     return {
         "ticks_buy": ticks_buy,
