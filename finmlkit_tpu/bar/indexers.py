@@ -341,3 +341,18 @@ def cusum_bar_indexer(timestamps: jnp.ndarray, prices: jnp.ndarray,
 
     ci = jnp.concatenate([first_valid[None], out[:count]])
     return timestamps[ci], ci, sig_filled
+
+
+# ---------------------------------------------------------------------------
+# Roadmap stubs (parity with the reference's declared-but-unimplemented
+# indexers, logic.py:224-261)
+# ---------------------------------------------------------------------------
+
+def imbalance_bar_indexer(timestamps, prices, volumes, threshold):
+    """Imbalance bars. Parity: logic.py:224-241 (reference also raises)."""
+    raise NotImplementedError("Imbalance bar indexer is not implemented yet.")
+
+
+def run_bar_indexer(timestamps, prices, volumes, threshold):
+    """Run bars. Parity: logic.py:244-261 (reference also raises)."""
+    raise NotImplementedError("Run bar indexer is not implemented yet.")

@@ -229,3 +229,69 @@ def volume_profile_rolling(ts, low_level, n_levels, buy_dense, sell_dense,
         ts, lo, nl, total, jnp.int64(window_ns),
         jnp.float64(va_pct), int(max_levels),
         int(n_bins) if n_bins is not None else None, max_window_bars)
+
+
+class VolumePro:
+    """Rolling volume-profile calculator over dense footprints.
+
+    Parity: /root/reference/finmlkit/feature/core/volume.py:13-130
+    (VolumePro wrapper) operating on the dense FootprintData of
+    finmlkit_tpu.bar.data_model instead of NumbaLists.
+    """
+
+    def __init__(self, window_size, n_bins: int = 27, va_pct: float = 68.34):
+        import pandas as pd
+        if hasattr(window_size, "total_seconds"):
+            self.window_size_sec = window_size.total_seconds()
+        else:
+            self.window_size_sec = float(window_size)
+        self.n_bins = n_bins
+        self.va_pct = va_pct
+
+    def reset_parameters(self, window_size_sec=None, n_bins=None, va_pct=None):
+        if window_size_sec is not None:
+            self.window_size_sec = window_size_sec
+        if n_bins is not None:
+            self.n_bins = n_bins
+        if va_pct is not None:
+            self.va_pct = va_pct
+
+    def compute(self, bars, fp_data):
+        """POC / HVA / LVA prices + volume pct above POC per bar.
+
+        :param bars: DataFrame with 'high'/'low' columns (unused in the
+            dense path — kept for API parity).
+        :param fp_data: FootprintData (dense).
+        :returns: (poc_prices, hva_prices, lva_prices, vp_pct_above_poc)
+            as numpy arrays, warm-up prefix set to NaN.
+        """
+        import numpy as np
+        assert len(bars) == len(fp_data.bar_timestamps), \
+            "Bars and footprint data should have the same length."
+        poc, hva, lva, pct = volume_profile_rolling(
+            fp_data.bar_timestamps, fp_data.low_level, fp_data.n_levels,
+            fp_data.buy_volumes, fp_data.sell_volumes,
+            window_size_sec=self.window_size_sec, n_bins=self.n_bins,
+            va_pct=self.va_pct)
+        poc = np.asarray(poc, dtype=np.float64) * fp_data.price_tick
+        hva = np.asarray(hva, dtype=np.float64) * fp_data.price_tick
+        lva = np.asarray(lva, dtype=np.float64) * fp_data.price_tick
+        poc = np.where(poc == 0, np.nan, poc)
+        hva = np.where(hva == 0, np.nan, hva)
+        lva = np.where(lva == 0, np.nan, lva)
+        return poc, hva, lva, np.asarray(pct)
+
+    def compute_range(self, bars, fp_data, start, end):
+        """Rolling profile restricted to [start, end] with window warm-up.
+
+        Parity: core/volume.py:88-130.
+        """
+        import pandas as pd
+        assert len(bars) == len(fp_data.bar_timestamps)
+        start = pd.to_datetime(start)
+        adjusted_start = start - pd.Timedelta(seconds=self.window_size_sec)
+        sub = fp_data[adjusted_start:pd.to_datetime(end)]
+        dt_idx = pd.to_datetime(sub.bar_timestamps)
+        bars_sub = bars.loc[dt_idx]
+        poc, hva, lva, pct = self.compute(bars_sub, sub)
+        return sub.bar_timestamps, poc, hva, lva, pct

@@ -101,3 +101,9 @@ def cusum_filter(raw_time_series, threshold, max_events: int | None = None,
             break
         mb = min(mb * 4, n)
     return np.asarray(out[:count])
+
+
+def z_score_peak_filter(y, window: int, threshold: float = 3):
+    """Z-score peak detection. Parity: the reference declares this and
+    raises NotImplementedError (filters.py:73-94)."""
+    raise NotImplementedError("This function is not yet implemented.")
