@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.pallas_scan import fast_cumsum_cols
+from ..ops.pallas_scan import combine_i64, fast_cumsum_cols
 from ..ops.segment import (
     range_count,
     segment_median_pair,
@@ -56,6 +56,18 @@ def _rsum(P_incl, ci):
     return hi - lo
 
 
+def _rsum_pair(Phi_row, Plo_row, ci):
+    """Per-bar int64 sums from (hi, lo) int32 prefix pairs: gather the
+    pair at the boundaries, recombine per bar, subtract (exact)."""
+    n = Phi_row.shape[0]
+    e = jnp.clip(ci[1:], 0, n - 1)
+    a_idx = jnp.clip(ci[:-1], 0, n - 1)
+    end_v = combine_i64(Phi_row[e], Plo_row[e])
+    start_v = jnp.where(ci[:-1] >= 0,
+                        combine_i64(Phi_row[a_idx], Plo_row[a_idx]), 0)
+    return end_v - start_v
+
+
 def _bar_axis(P_marks, ci, n):
     n_bars = ci.shape[0] - 1
     idx = jnp.arange(n, dtype=ci.dtype)
@@ -72,15 +84,15 @@ def _bar_axis(P_marks, ci, n):
 def _ohlcv_pre(price_ticks, amount_units, ci):
     n = price_ticks.shape[0]
     dollars = price_ticks.astype(jnp.int64) * amount_units
-    marks = _marks_row(ci, n, jnp.int64)
-    return jnp.stack([amount_units, dollars, marks])
+    marks = _marks_row(ci, n, jnp.int32)[None, :]
+    return jnp.stack([amount_units, dollars]), marks
 
 
 @jax.jit
-def _ohlcv_post(price_ticks, amounts_f32, ci, P):
+def _ohlcv_post(price_ticks, amounts_f32, ci, Phi, Plo, Pmarks):
     n = price_ticks.shape[0]
     n_bars = ci.shape[0] - 1
-    bar_id, valid = _bar_axis(P[2], ci, n)
+    bar_id, valid = _bar_axis(Pmarks[0], ci, n)
 
     counts = range_count(ci)
     end_idx = _wrap_idx(ci[1:], n)
@@ -98,8 +110,8 @@ def _ohlcv_post(price_ticks, amounts_f32, ci, P):
     high_t = jnp.where(counts == 0, close_t, high_t)
     low_t = jnp.where(counts == 0, close_t, low_t)
 
-    vol_u = _rsum(P[0], ci)
-    dollar_u = _rsum(P[1], ci)
+    vol_u = _rsum_pair(Phi[0], Plo[0], ci)
+    dollar_u = _rsum_pair(Phi[1], Plo[1], ci)
 
     sorted_amt = sorted_segments(amounts_f32, bar_id, valid, n_bars)
     offsets = ci[:-1] - ci[0]
@@ -109,9 +121,12 @@ def _ohlcv_post(price_ticks, amounts_f32, ci, P):
 
 def ohlcv_q_device(price_ticks, amount_units, amounts_f32, ci):
     """On-device OHLCV pipeline; returns raw integer device arrays."""
-    stacked = _ohlcv_pre(price_ticks, amount_units, ci)
-    P = fast_cumsum_cols(stacked)
-    return _ohlcv_post(price_ticks, amounts_f32, ci, P)
+    stacked, marks = _ohlcv_pre(price_ticks, amount_units, ci)
+    Phi, Plo = fast_cumsum_cols(stacked, as_pair=True)
+    del stacked
+    Pmarks = fast_cumsum_cols(marks)
+    del marks
+    return _ohlcv_post(price_ticks, amounts_f32, ci, Phi, Plo, Pmarks)
 
 
 # kept name for callers/benches
@@ -196,35 +211,41 @@ def _directional_pre(price_ticks, amount_units, ci, sides):
 
 
 @jax.jit
-def _directional_mid(P64, P32, ci):
+def _directional_mid(Phi, Plo, P32, ci):
     """Base-fill delta rows for the 3 running-cum extrema: the per-bar
     base equals the global prefix at each bar's anchor, reconstructed
     gather-free as a scatter of previous-bar totals + prefix sum."""
-    n = P64.shape[1]
+    n = P32.shape[1]
     starts = jnp.clip(ci[:-1] + 1, 0, n - 1)
 
-    def delta_row(row):
+    def delta_row_pair(hi_row, lo_row):
+        totals = _rsum_pair(hi_row, lo_row, ci)
+        deltas = jnp.concatenate([jnp.zeros((1,), jnp.int64), totals[:-1]])
+        return jnp.zeros((n,), jnp.int64).at[starts].add(deltas)
+
+    def delta_row32(row):
         totals = _rsum(row, ci)
         deltas = jnp.concatenate([jnp.zeros((1,), row.dtype), totals[:-1]])
         return jnp.zeros((n,), row.dtype).at[starts].add(deltas)
 
-    b64 = jnp.stack([delta_row(P64[4]), delta_row(P64[5])])
-    b32 = delta_row(P32[1])[None, :]
+    b64 = jnp.stack([delta_row_pair(Phi[4], Plo[4]),
+                     delta_row_pair(Phi[5], Plo[5])])
+    b32 = delta_row32(P32[1])[None, :]
     return b64, b32
 
 
 @jax.jit
-def _directional_post(P64, P32, B64, B32, ci, sides):
-    n = P64.shape[1]
+def _directional_post(Phi, Plo, P32, B64, B32, ci, sides):
+    n = P32.shape[1]
     n_bars = ci.shape[0] - 1
     bar_id, valid = _bar_axis(P32[4], ci, n)
 
     ticks_buy = _rsum(P32[2], ci).astype(jnp.int64)
     ticks_sell = _rsum(P32[3], ci).astype(jnp.int64)
-    volume_buy_u = _rsum(P64[0], ci)
-    volume_sell_u = _rsum(P64[1], ci)
-    dollars_buy_u = _rsum(P64[2], ci)
-    dollars_sell_u = _rsum(P64[3], ci)
+    volume_buy_u = _rsum_pair(Phi[0], Plo[0], ci)
+    volume_sell_u = _rsum_pair(Phi[1], Plo[1], ci)
+    dollars_buy_u = _rsum_pair(Phi[2], Plo[2], ci)
+    dollars_sell_u = _rsum_pair(Phi[3], Plo[3], ci)
     cum_spread_t = _rsum(P32[0], ci).astype(jnp.int64)
 
     def extrema(prefix_row, base_row):
@@ -238,8 +259,8 @@ def _directional_post(P64, P32, B64, B32, ci, sides):
         return mn, mx
 
     ct_min, ct_max = extrema(P32[1], B32[0])
-    cvu_min, cvu_max = extrema(P64[4], B64[0])
-    cdu_min, cdu_max = extrema(P64[5], B64[1])
+    cvu_min, cvu_max = extrema(combine_i64(Phi[4], Plo[4]), B64[0])
+    cdu_min, cdu_max = extrema(combine_i64(Phi[5], Plo[5]), B64[1])
 
     # per-trade spread back from its prefix row (shift-subtract, no gather)
     spread_t = P32[0] - jnp.concatenate([jnp.zeros((1,), jnp.int32), P32[0][:-1]])
@@ -256,16 +277,16 @@ def _directional_post(P64, P32, B64, B32, ci, sides):
 def directional_q_device(price_ticks, amount_units, ci, sides):
     """On-device directional pipeline; returns raw integer device arrays."""
     rows64, rows32 = _directional_pre(price_ticks, amount_units, ci, sides)
-    P64 = fast_cumsum_cols(rows64)
+    Phi, Plo = fast_cumsum_cols(rows64, as_pair=True)
     del rows64
     P32 = fast_cumsum_cols(rows32)
     del rows32
-    b64, b32 = _directional_mid(P64, P32, ci)
+    b64, b32 = _directional_mid(Phi, Plo, P32, ci)
     B64 = fast_cumsum_cols(b64)
     del b64
     B32 = fast_cumsum_cols(b32)
     del b32
-    return _directional_post(P64, P32, B64, B32, ci, sides)
+    return _directional_post(Phi, Plo, P32, B64, B32, ci, sides)
 
 
 _directional_q_device = directional_q_device
@@ -327,13 +348,13 @@ def comp_bar_directional_features_q(price_ticks, amount_units, ci, sides,
 def _trade_size_pre(amount_units, thr_units_f32_bars, ci):
     """Rows: i64 [units, marks]; f32 per-trade threshold delta row."""
     n = amount_units.shape[0]
-    marks = _marks_row(ci, n, jnp.int64)
+    marks = _marks_row(ci, n, jnp.int32)
     starts = jnp.clip(ci[:-1] + 1, 0, n - 1)
     thr_safe = jnp.where(jnp.isfinite(thr_units_f32_bars), thr_units_f32_bars,
                          jnp.float32(3e38))
     deltas = jnp.diff(jnp.concatenate([jnp.zeros((1,), jnp.float32), thr_safe]))
     thr_row = jnp.zeros((n,), jnp.float32).at[starts].add(deltas)
-    return jnp.stack([amount_units, marks]), thr_row[None, :]
+    return amount_units[None, :], marks[None, :], thr_row[None, :]
 
 
 @jax.jit
@@ -343,14 +364,14 @@ def _trade_size_block_row(amount_units, thr_t):
 
 
 @jax.jit
-def _trade_size_post(amounts_f32, ci, P, PB):
+def _trade_size_post(amounts_f32, ci, Phi, Plo, Pmarks, PBhi, PBlo):
     n = amounts_f32.shape[0]
     n_bars = ci.shape[0] - 1
-    bar_id, valid = _bar_axis(P[1], ci, n)
+    bar_id, valid = _bar_axis(Pmarks[0], ci, n)
     counts = range_count(ci)
 
-    total_u = _rsum(P[0], ci)
-    block_u = _rsum(PB[0], ci)
+    total_u = _rsum_pair(Phi[0], Plo[0], ci)
+    block_u = _rsum_pair(PBhi[0], PBlo[0], ci)
     sq = amounts_f32 * amounts_f32
     sumsq = jax.ops.segment_sum(jnp.where(valid, sq, 0.0), bar_id,
                                 num_segments=n_bars, indices_are_sorted=True)
@@ -367,12 +388,14 @@ def comp_bar_trade_size_features_q(amount_units, amounts_f32, theta, ci,
     thr = theta * float(theta_mult)
     thr_units = np.where(thr > 0, thr / float(amount_scale), np.inf)
 
-    stacked, thr_row = _trade_size_pre(
+    units_row, marks, thr_row = _trade_size_pre(
         amount_units, jnp.asarray(thr_units, jnp.float32), ci)
-    P = fast_cumsum_cols(stacked)
+    Phi, Plo = fast_cumsum_cols(units_row, as_pair=True)
+    Pmarks = fast_cumsum_cols(marks)
     thr_t = fast_cumsum_cols(thr_row)
-    PB = fast_cumsum_cols(_trade_size_block_row(amount_units, thr_t))
-    raw = _trade_size_post(amounts_f32, ci, P, PB)
+    PBhi, PBlo = fast_cumsum_cols(
+        _trade_size_block_row(amount_units, thr_t), as_pair=True)
+    raw = _trade_size_post(amounts_f32, ci, Phi, Plo, Pmarks, PBhi, PBlo)
     total_u, block_u, sumsq, q_a, q_b, q_lo, counts = jax.device_get(raw)
 
     pos = 0.95 * (np.maximum(counts, 1) - 1).astype(np.float64)

@@ -218,25 +218,50 @@ def _cumsum_3d_i64(hi, lo, interpret=False):
     )(hi, lo)
 
 
-def fast_cumsum_cols(x, interpret: bool | None = None):
+@jax.jit
+def _split_i64(xp):
+    hi = (xp >> 32).astype(jnp.int32).reshape(xp.shape[0], -1, _LANES)
+    lo = xp.astype(jnp.uint32).astype(jnp.int32).reshape(xp.shape[0], -1, _LANES)
+    return hi, lo
+
+
+@jax.jit
+def combine_i64(hi, lo):
+    """Recombine (hi, lo) int32 prefix pairs into int64 values."""
+    return (hi.astype(jnp.int64) << 32) | lo.astype(jnp.uint32).astype(jnp.int64)
+
+
+def fast_cumsum_cols(x, interpret: bool | None = None, as_pair: bool = False):
     """Columnwise inclusive prefix sums: x is (C, n); each row scanned
     independently in ONE kernel launch. Same dtype support and TPU-only
     policy as :func:`fast_cumsum`.
+
+    For int64 inputs, ``as_pair=True`` returns the raw ``(hi, lo)`` int32
+    prefix pair (shape (C, n) each) without materializing the recombined
+    int64 array — callers that only gather a few positions (bar-boundary
+    sums) recombine with :func:`combine_i64` on the gathered slices,
+    halving peak HBM at monthly trade counts.
     """
     if interpret is None:
         if jax.default_backend() != "tpu":
-            return jnp.cumsum(x, axis=1)
+            out = jnp.cumsum(x, axis=1)
+            if as_pair and x.dtype == jnp.int64:
+                return ((out >> 32).astype(jnp.int32),
+                        out.astype(jnp.uint32).astype(jnp.int32))
+            return out
         interpret = False
     c, n = x.shape
     block = _ROWS * _LANES
     pad = (-n) % block
     xp = jnp.concatenate([x, jnp.zeros((c, pad), x.dtype)], axis=1) if pad else x
     if x.dtype == jnp.int64:
-        hi = (xp >> 32).astype(jnp.int32).reshape(c, -1, _LANES)
-        lo = xp.astype(jnp.uint32).astype(jnp.int32).reshape(c, -1, _LANES)
+        hi, lo = _split_i64(xp)
+        del xp
         ohi, olo = _cumsum_3d_i64(hi, lo, interpret=interpret)
-        out = (ohi.reshape(c, -1).astype(jnp.int64) << 32) | \
-            olo.reshape(c, -1).astype(jnp.uint32).astype(jnp.int64)
+        del hi, lo
+        if as_pair:
+            return ohi.reshape(c, -1)[:, :n], olo.reshape(c, -1)[:, :n]
+        out = combine_i64(ohi.reshape(c, -1), olo.reshape(c, -1))
         return out[:, :n]
     out = _cumsum_3d(xp.reshape(c, -1, _LANES), interpret=interpret).reshape(c, -1)
     return out[:, :n]
