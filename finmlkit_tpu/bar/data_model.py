@@ -386,6 +386,20 @@ class FootprintData:
         return df.sort_values(by=["bar_datetime_idx", "price_level"],
                               ascending=[True, False])
 
+    def cast_to_numba_list(self):
+        """No-op compatibility shim: the reference converts to ragged
+        NumbaLists before kernel calls (data_model.py:994); the dense
+        tensors here are already kernel-ready."""
+        return self
+
+    @property
+    def buy_volumes_ragged(self):
+        return self._ragged(self.buy_volumes)
+
+    @property
+    def sell_volumes_ragged(self):
+        return self._ragged(self.sell_volumes)
+
     def memory_usage(self) -> int:
         """Total bytes of the dense tensors."""
         return sum(

@@ -183,6 +183,20 @@ def load_trades_h5(filepath: str, *, key: Optional[str] = None,
     )
 
 
+def _find_gaps_month(args):
+    """Worker: find > max_gap_ns gaps in one month's timestamps."""
+    filepath, month, max_gap_ns = args
+    with h5py.File(filepath, "r") as f:
+        ts = f[f"/trades/{month}/timestamp"][:]
+    if len(ts) < 2:
+        return []
+    d = np.diff(ts)
+    idx = np.flatnonzero(d > max_gap_ns)
+    return [(month, pd.Timestamp(int(ts[i]), unit="ns"),
+             pd.Timestamp(int(ts[i + 1]), unit="ns"),
+             pd.Timedelta(int(d[i]), unit="ns")) for i in idx]
+
+
 class H5Inspector:
     """Diagnostics over the monthly store.
 
@@ -232,6 +246,32 @@ class H5Inspector:
                 "price_max": float(px[:].max()) if n else np.nan,
                 "total_volume": float(g["amount"][:].sum()) if n else 0.0,
             }
+
+    def inspect_gaps(self, max_gap: pd.Timedelta = None, processes: int = 4):
+        """Scan every month for temporal gaps larger than ``max_gap``.
+
+        Parity: /root/reference/finmlkit/bar/io.py:200-223 (multiprocess
+        per-month gap scan). Returns a DataFrame of gaps with month,
+        start/end timestamps and duration.
+        """
+        if max_gap is None:
+            max_gap = pd.Timedelta(minutes=1)
+        months = [k.rsplit("/", 1)[-1] for k in self.list_keys()]
+        args = [(self.filepath, m, int(max_gap.value)) for m in months]
+        rows = []
+        try:
+            with concurrent.futures.ProcessPoolExecutor(max_workers=processes) as ex:
+                for out in ex.map(_find_gaps_month, args):
+                    rows.extend(out)
+        except Exception as e:
+            logger.warning(f"Parallel gap scan failed ({e}); sequential fallback.")
+            rows = [g for a in args for g in _find_gaps_month(a)]
+        df = pd.DataFrame(rows, columns=["month", "gap_start", "gap_end",
+                                         "duration"])
+        if len(df):
+            df["gap_start"] = pd.to_datetime(df["gap_start"])
+            df["gap_end"] = pd.to_datetime(df["gap_end"])
+        return df
 
     def get_integrity_summary(self) -> pd.DataFrame:
         rows = []

@@ -128,3 +128,15 @@ def cusum_test_developing(y_prices, warmup_period: int = 30, block: int = 128):
     y = jnp.asarray(y_prices, jnp.float64)
     n = y.shape[0]
     return _csw_rolling_impl(jnp.log(y), n, int(warmup_period), int(block))
+
+
+def cusum_test_last(y_prices, block: int = 128):
+    """CSW test statistics at the last observation only.
+
+    Parity: structural_break/cusum.py:136-176.
+    """
+    import numpy as np
+    up, down, cu, cd = cusum_test_developing(y_prices, warmup_period=0,
+                                             block=block)
+    return (float(np.asarray(up)[-1]), float(np.asarray(down)[-1]),
+            float(np.asarray(cu)[-1]), float(np.asarray(cd)[-1]))
