@@ -61,7 +61,7 @@ def main():
 
     # --- 1-min time bars ---
     t0 = time.time()
-    close_ts, ci = time_bar_indexer(tsj, 60.0)
+    close_ts, ci = time_bar_indexer(tsj, 60.0, ts_first=int(ts[0]), ts_last_i=int(ts[-1]))
     ci = jax.block_until_ready(ci)
     t_index = time.time() - t0
     n_bars = int(ci.shape[0]) - 1

@@ -67,17 +67,21 @@ def _time_bar_ci(timestamps, start_f, n_clock: int, step_i: int,
     return cnt.at[jnp.clip(b + 1, 0, n_clock)].add(1)
 
 
-def time_bar_indexer(timestamps: jnp.ndarray, interval_seconds: float):
+def time_bar_indexer(timestamps: jnp.ndarray, interval_seconds: float,
+                     ts_first: int | None = None, ts_last_i: int | None = None):
     """Vectorized time-bar indexer.
 
     Parity: /root/reference/finmlkit/bar/logic.py:12-51 including its
     float64 bar-clock arithmetic (the reference computes the clock with
     f64 ``//``/``ceil``/``arange``, so boundary values inherit f64
     rounding at ns scale; we replicate that bit-for-bit).
+
+    ``ts_first``/``ts_last_i`` (host ints) avoid device scalar readbacks,
+    which are extremely slow on this TPU's transport.
     """
     step = float(interval_seconds) * 1e9  # f64 bar interval in ns
-    ts0 = float(timestamps[0])
-    ts_last = float(timestamps[-1])
+    ts0 = float(timestamps[0]) if ts_first is None else float(ts_first)
+    ts_last = float(timestamps[-1]) if ts_last_i is None else float(ts_last_i)
     start = math.floor(ts0 / step) * step
     last = math.ceil(ts_last / step) * step
     stop = last + step + 1.0
@@ -143,7 +147,7 @@ def dollar_bar_indexer(timestamps: jnp.ndarray, prices: jnp.ndarray,
     after the previous boundary). One batched searchsorted + one cummax.
     """
     c = jnp.cumsum(prices.astype(jnp.float64) * volumes.astype(jnp.float64))
-    total = float(c[-1])
+    total = float(c[-1])  # one scalar readback (f64 CPU path only)
     max_bars = min(max(int(total / float(threshold)) + 1, 1), c.shape[0])
     b, count = _dollar_boundaries(c, float(threshold), max_bars)
     count = int(count)

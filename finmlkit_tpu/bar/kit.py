@@ -231,7 +231,10 @@ class TimeBarKit(BarBuilderBase):
 
     def _comp_bar_close(self):
         ts = self._ts[: self._n_trades]
-        return indexers.time_bar_indexer(ts, self.interval)
+        host_ts = self.trades_df["timestamp"].values
+        return indexers.time_bar_indexer(
+            ts, self.interval, ts_first=int(host_ts[0]),
+            ts_last_i=int(host_ts[-1]))
 
 
 class TickBarKit(BarBuilderBase):

@@ -135,19 +135,12 @@ def fast_cumsum(x, interpret: bool | None = None):
             return jnp.cumsum(x)
         interpret = False
     n = x.shape[0]
-    block = _ROWS * _LANES
-    pad = (-n) % block
-    xp = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]) if pad else x
-    x2 = xp.reshape(-1, _LANES)
     if x.dtype == jnp.int64:
-        hi = (xp >> 32).astype(jnp.int32).reshape(-1, _LANES)
-        lo = xp.astype(jnp.uint32).astype(jnp.int32).reshape(-1, _LANES)
-        ohi, olo = _cumsum_2d_i64(hi, lo, interpret=interpret)
-        out = (ohi.reshape(-1).astype(jnp.int64) << 32) | \
-            olo.reshape(-1).astype(jnp.uint32).astype(jnp.int64)
-        return out[:n]
-    out = _cumsum_2d(x2, interpret=interpret).reshape(-1)
-    return out[:n]
+        hi, lo = _prep_i64(x[None, :])
+        ohi, olo = _cumsum_2d_i64(hi[0], lo[0], interpret=interpret)
+        return _finish_combined(ohi[None], olo[None], n=n)[0]
+    out = _cumsum_2d(_prep_any(x[None, :])[0], interpret=interpret)
+    return _finish_any(out[None], n=n)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -219,10 +212,45 @@ def _cumsum_3d_i64(hi, lo, interpret=False):
 
 
 @jax.jit
-def _split_i64(xp):
-    hi = (xp >> 32).astype(jnp.int32).reshape(xp.shape[0], -1, _LANES)
-    lo = xp.astype(jnp.uint32).astype(jnp.int32).reshape(xp.shape[0], -1, _LANES)
+def _prep_i64(x):
+    """Pad to a block multiple and split into (hi, lo) int32 3-D blocks
+    in ONE dispatch (eager pad/reshape chains cost seconds each over the
+    remote transport)."""
+    c, n = x.shape
+    block = _ROWS * _LANES
+    pad = (-n) % block
+    xp = jnp.concatenate([x, jnp.zeros((c, pad), x.dtype)], axis=1) if pad else x
+    hi = (xp >> 32).astype(jnp.int32).reshape(c, -1, _LANES)
+    lo = xp.astype(jnp.uint32).astype(jnp.int32).reshape(c, -1, _LANES)
     return hi, lo
+
+
+@jax.jit
+def _prep_any(x):
+    c, n = x.shape
+    block = _ROWS * _LANES
+    pad = (-n) % block
+    xp = jnp.concatenate([x, jnp.zeros((c, pad), x.dtype)], axis=1) if pad else x
+    return xp.reshape(c, -1, _LANES)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _finish_pair(ohi, olo, n: int):
+    c = ohi.shape[0]
+    return ohi.reshape(c, -1)[:, :n], olo.reshape(c, -1)[:, :n]
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _finish_combined(ohi, olo, n: int):
+    c = ohi.shape[0]
+    out = (ohi.reshape(c, -1).astype(jnp.int64) << 32) | \
+        olo.reshape(c, -1).astype(jnp.uint32).astype(jnp.int64)
+    return out[:, :n]
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _finish_any(o, n: int):
+    return o.reshape(o.shape[0], -1)[:, :n]
 
 
 @jax.jit
@@ -251,17 +279,12 @@ def fast_cumsum_cols(x, interpret: bool | None = None, as_pair: bool = False):
             return out
         interpret = False
     c, n = x.shape
-    block = _ROWS * _LANES
-    pad = (-n) % block
-    xp = jnp.concatenate([x, jnp.zeros((c, pad), x.dtype)], axis=1) if pad else x
     if x.dtype == jnp.int64:
-        hi, lo = _split_i64(xp)
-        del xp
+        hi, lo = _prep_i64(x)
         ohi, olo = _cumsum_3d_i64(hi, lo, interpret=interpret)
         del hi, lo
         if as_pair:
-            return ohi.reshape(c, -1)[:, :n], olo.reshape(c, -1)[:, :n]
-        out = combine_i64(ohi.reshape(c, -1), olo.reshape(c, -1))
-        return out[:, :n]
-    out = _cumsum_3d(xp.reshape(c, -1, _LANES), interpret=interpret).reshape(c, -1)
-    return out[:, :n]
+            return _finish_pair(ohi, olo, n=n)
+        return _finish_combined(ohi, olo, n=n)
+    out = _cumsum_3d(_prep_any(x), interpret=interpret)
+    return _finish_any(out, n=n)
