@@ -1,0 +1,86 @@
+"""Scaling-efficiency harness for the time-sharded bar pipeline.
+
+Runs the shard_map bar products over meshes of 1..N devices and reports
+throughput + scaling efficiency. On this single-chip dev environment it
+runs on the virtual CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_count=N)
+to validate the sharding/collective structure; on a real pod slice the
+same code path exercises ICI collectives.
+
+Usage:
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python scripts/scaling_bench.py [n_trades]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    if jax.default_backend() != "tpu" and len(jax.devices()) < 2:
+        print("# need multiple devices; set "
+              "XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu",
+              file=sys.stderr)
+
+    import jax.numpy as jnp
+    from finmlkit_tpu.bar.indexers import time_bar_indexer
+    from finmlkit_tpu.parallel import time_mesh, shard_trades, sharded_bar_products
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    r = np.random.default_rng(0)
+    dt = (r.exponential(70.0, n) * 1e6).astype(np.int64)
+    ts = 1_700_000_000_000_000_000 + np.cumsum(dt)
+    price = np.round(100.0 * np.exp(np.cumsum(r.normal(0, 1e-4, n))), 2)
+    amount = np.maximum(np.round(r.lognormal(-2.5, 1.2, n), 5), 1e-5).astype(np.float32)
+    side = np.where(r.random(n) < 0.5, 1, -1).astype(np.int8)
+
+    _, ci = time_bar_indexer(jnp.asarray(ts), 60.0,
+                             ts_first=int(ts[0]), ts_last_i=int(ts[-1]))
+    ci = jax.block_until_ready(ci)
+
+    all_devices = jax.devices()
+    sizes = [d for d in (1, 2, 4, 8) if d <= len(all_devices)]
+    results = {}
+    for nd in sizes:
+        mesh = time_mesh(devices=all_devices[:nd])
+        sharded = shard_trades(
+            {"price": price.astype(np.float64), "amount": amount,
+             "side": side}, mesh)
+        out = sharded_bar_products(sharded, ci, mesh)   # compile + run
+        jax.block_until_ready(out)
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            out = sharded_bar_products(sharded, ci, mesh)
+        # force completion via a small readback
+        np.asarray(out["volume"][:1])
+        dt_s = (time.time() - t0) / reps
+        results[nd] = n / dt_s
+        print(f"# {nd} device(s): {results[nd]:,.0f} trades/s "
+              f"({dt_s*1000:.1f} ms)", file=sys.stderr)
+
+    if jax.default_backend() != "tpu":
+        print("# NOTE: virtual CPU devices share the same physical cores — "
+              "this validates the sharding/collective structure, not real "
+              "scaling; run on a pod slice for meaningful efficiency.",
+              file=sys.stderr)
+    base = results[sizes[0]]
+    effs = {nd: results[nd] / (base * nd) for nd in sizes}
+    for nd in sizes:
+        print(f"# scaling efficiency @ {nd} dev: {effs[nd]*100:.1f}%",
+              file=sys.stderr)
+    print(json.dumps({
+        "metric": "sharded_bar_products_scaling",
+        "n_trades": n,
+        "trades_per_sec": {str(k): round(v) for k, v in results.items()},
+        "efficiency": {str(k): round(v, 3) for k, v in effs.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()
