@@ -286,8 +286,9 @@ def _cusum_boundaries(rets: jnp.ndarray, lam: jnp.ndarray, can_close: jnp.ndarra
         spe, sne = s_pos[e], s_neg[e]
         # reference resets only the triggered side; s_pos takes precedence
         trig_pos = pos_hit[e]
-        new_sp = jnp.where(trig_pos, 0.0, spe)
-        new_sn = jnp.where(trig_pos, sne, 0.0)
+        zero = jnp.zeros((), rets.dtype)
+        new_sp = jnp.where(trig_pos, zero, spe)
+        new_sn = jnp.where(trig_pos, sne, zero)
 
         # carry to next chunk when no event
         last = jnp.minimum(n - 1 - pos, chunk - 1)
@@ -301,14 +302,15 @@ def _cusum_boundaries(rets: jnp.ndarray, lam: jnp.ndarray, can_close: jnp.ndarra
                 out)
 
     out = jnp.zeros((max_bars,), jnp.int64)
-    init = (start + 1, jnp.float64(0.0), jnp.float64(0.0), jnp.int64(0), out)
+    zero = jnp.zeros((), rets.dtype)
+    init = (start + 1, zero, zero, jnp.int64(0), out)
     _, _, _, k, out = jax.lax.while_loop(cond, body, init)
     return out, k
 
 
 def cusum_bar_indexer(timestamps: jnp.ndarray, prices: jnp.ndarray,
                       sigma: jnp.ndarray, sigma_floor: float, sigma_mult: float,
-                      max_bars: int | None = None):
+                      max_bars: int | None = None, dtype=None):
     """CUSUM bar indexer with adaptive threshold and ms-print-block rule.
 
     Parity: /root/reference/finmlkit/bar/logic.py:152-221 — symmetric
@@ -319,19 +321,26 @@ def cusum_bar_indexer(timestamps: jnp.ndarray, prices: jnp.ndarray,
     vice versa.
 
     Returns (close_ts, close_indices, filled_sigma).
+
+    ``dtype`` selects scan precision: float64 (default; exact reference
+    parity, CPU) or float32 (TPU fast path — f64 scans compile
+    pathologically there; log returns keep ~1e-7 relative precision so
+    boundaries at exact threshold equality may rarely shift).
     """
+    dt = jnp.float64 if dtype is None else jnp.dtype(dtype)
     n = prices.shape[0]
-    sig = sigma.astype(jnp.float64)
+    sig = sigma.astype(dt)
     isnan = jnp.isnan(sig)
     first_valid = jnp.argmin(isnan).astype(jnp.int64)  # first non-NaN index
     # forward-fill NaNs (from first_valid on; leading NaNs are before start)
     idx = jnp.arange(n)
     last_valid = jax.lax.cummax(jnp.where(isnan, -1, idx))
     sig_filled = sig[jnp.clip(last_valid, 0, n - 1)]
-    lam = jnp.maximum(sigma_mult * sig_filled, sigma_floor)
+    lam = jnp.maximum(jnp.asarray(sigma_mult, dt) * sig_filled,
+                      jnp.asarray(sigma_floor, dt))
 
-    log_p = jnp.log(prices.astype(jnp.float64))
-    rets = jnp.concatenate([jnp.zeros((1,), jnp.float64), jnp.diff(log_p)])
+    log_p = jnp.log(prices.astype(dt))
+    rets = jnp.concatenate([jnp.zeros((1,), dt), jnp.diff(log_p)])
     can_close = jnp.concatenate([timestamps[:-1] != timestamps[1:],
                                  jnp.ones((1,), jnp.bool_)])
 

@@ -296,10 +296,13 @@ class CUSUMBarKit(BarBuilderBase):
         self.sigma_floor = sigma_floor
 
     def _comp_bar_close(self):
+        import jax
         ts = self._ts[: self._n_trades]
         px = self._px[: self._n_trades]
+        dtype = "float32" if jax.default_backend() == "tpu" else None
         close_ts, ci, filled = indexers.cusum_bar_indexer(
-            ts, px, jnp.asarray(self._sigma), self.sigma_floor, self.lambda_mult)
+            ts, px, jnp.asarray(self._sigma), self.sigma_floor,
+            self.lambda_mult, dtype=dtype)
         self._sigma = np.asarray(filled)  # the reference fills NaNs in place
         return close_ts, ci
 
