@@ -11,6 +11,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ...config import feature_dtype as _fdt
+
 from ._rolling import roll_sum, warmup_nan
 
 
@@ -50,5 +52,5 @@ def _pv_corr_impl(price, volume, window: int):
 
 def rolling_price_volume_correlation(price, volume, window: int):
     """Rolling Pearson corr(pct-change returns, volume)."""
-    return _pv_corr_impl(jnp.asarray(price, jnp.float64),
-                         jnp.asarray(volume, jnp.float64), int(window))
+    return _pv_corr_impl(jnp.asarray(price, _fdt()),
+                         jnp.asarray(volume, _fdt()), int(window))

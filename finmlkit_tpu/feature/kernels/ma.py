@@ -7,6 +7,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ...config import feature_dtype as _fdt
+
 from ...ops.scan import linear_recurrence
 from ._rolling import roll_sum, warmup_nan
 
@@ -31,7 +33,7 @@ def ewma(y, span: int):
     """
     if span < 1:
         raise ValueError("span size is less than or equal to 1. Please provide a span size greater than 1.")
-    return _ewma_impl(jnp.asarray(y, jnp.float64), int(span))
+    return _ewma_impl(jnp.asarray(y, _fdt()), int(span))
 
 
 @partial(jax.jit, static_argnames=("window",))
@@ -45,4 +47,4 @@ def sma(array, window: int):
     Parity: core/ma.py:46-62 (windowed sums, so a NaN only affects
     windows containing it).
     """
-    return _sma_impl(jnp.asarray(array, jnp.float64), int(window))
+    return _sma_impl(jnp.asarray(array, _fdt()), int(window))

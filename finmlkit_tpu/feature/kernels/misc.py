@@ -7,6 +7,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ...config import feature_dtype as _fdt
+
 from ._rolling import roll_sum, sliding_windows, warmup_nan
 
 
@@ -40,7 +42,7 @@ def comp_lagged_returns(timestamps, close, return_window_sec, is_log: bool):
     if return_window_sec <= 0:
         raise ValueError("The return window must be greater than zero.")
     return _lagged_returns_impl(jnp.asarray(timestamps, jnp.int64),
-                                jnp.asarray(close, jnp.float64),
+                                jnp.asarray(close, _fdt()),
                                 jnp.float64(return_window_sec * 1e9),
                                 bool(is_log))
 
@@ -58,7 +60,7 @@ def _zscore_impl(x, window: int, ddof: int):
 
 def comp_zscore(x, window: int, ddof: int = 0):
     """Rolling z-score. Parity: core/utils.py:67-90."""
-    return _zscore_impl(jnp.asarray(x, jnp.float64), int(window), int(ddof))
+    return _zscore_impl(jnp.asarray(x, _fdt()), int(window), int(ddof))
 
 
 @partial(jax.jit, static_argnames=("window",))
@@ -75,7 +77,7 @@ def comp_burst_ratio(series, window: int):
     The rolling median is computed on materialized (n, window) trailing
     windows — O(n*window) memory, fine for bar-level series.
     """
-    return _burst_impl(jnp.asarray(series, jnp.float64), int(window))
+    return _burst_impl(jnp.asarray(series, _fdt()), int(window))
 
 
 @partial(jax.jit, static_argnames=("periods",))
@@ -88,4 +90,4 @@ def _pct_change_impl(x, periods: int):
 
 def pct_change(x, periods: int):
     """Lagged percent change (NaN when base <= 0). Parity: core/utils.py:110-124."""
-    return _pct_change_impl(jnp.asarray(x, jnp.float64), int(periods))
+    return _pct_change_impl(jnp.asarray(x, _fdt()), int(periods))

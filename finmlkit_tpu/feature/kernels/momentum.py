@@ -7,6 +7,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ...config import feature_dtype as _fdt
+
 from ...ops.scan import linear_recurrence
 from ._rolling import roll_max, roll_min, warmup_nan
 
@@ -21,7 +23,7 @@ def _roc_impl(price, period: int):
 
 def roc(price, period: int):
     """Rate of change (%). Parity: core/momentum.py:6-22."""
-    return _roc_impl(jnp.asarray(price, jnp.float64), int(period))
+    return _roc_impl(jnp.asarray(price, _fdt()), int(period))
 
 
 @partial(jax.jit, static_argnames=("window",))
@@ -52,7 +54,7 @@ def _rsi_impl(close, window: int):
 
 def rsi_wilder(close, window: int):
     """Wilder-smoothed RSI via linear recurrence. Parity: core/momentum.py:25-65."""
-    close = jnp.asarray(close, jnp.float64)
+    close = jnp.asarray(close, _fdt())
     if close.shape[0] <= window:
         return jnp.full_like(close, jnp.nan)
     return _rsi_impl(close, int(window))
@@ -68,8 +70,8 @@ def _stoch_impl(close, low, high, length: int):
 
 def stoch_k(close, low, high, length: int):
     """Stochastic %K via rolling min/max. Parity: core/momentum.py:68-111."""
-    close = jnp.asarray(close, jnp.float64)
+    close = jnp.asarray(close, _fdt())
     if close.shape[0] < length:
         return jnp.full_like(close, jnp.nan)
-    return _stoch_impl(close, jnp.asarray(low, jnp.float64),
-                       jnp.asarray(high, jnp.float64), int(length))
+    return _stoch_impl(close, jnp.asarray(low, _fdt()),
+                       jnp.asarray(high, _fdt()), int(length))

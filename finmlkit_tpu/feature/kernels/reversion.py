@@ -7,6 +7,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ...config import feature_dtype as _fdt
+
 from ._rolling import roll_sum, warmup_nan
 
 
@@ -34,8 +36,8 @@ def _vwap_distance_impl(close, volume, n_periods: int, is_log: bool):
 
 def vwap_distance(close, volume, n_periods: int, is_log: bool):
     """Distance of price from rolling VWAP."""
-    close = jnp.asarray(close, jnp.float64)
+    close = jnp.asarray(close, _fdt())
     if close.shape[0] < n_periods:
         return jnp.full_like(close, jnp.nan)
-    return _vwap_distance_impl(close, jnp.asarray(volume, jnp.float64),
+    return _vwap_distance_impl(close, jnp.asarray(volume, _fdt()),
                                int(n_periods), bool(is_log))

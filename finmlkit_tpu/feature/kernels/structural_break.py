@@ -17,6 +17,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ...config import feature_dtype as _fdt
+
 
 def _sup_stat(y_t, y_lagged, lag_k, sigma_t, lag_valid):
     """Sup statistic over the lag axis for a block of t's.
@@ -109,7 +111,7 @@ def cusum_test_rolling(close_prices, window_size: int = 1000,
     expanding statistics inside the first window, fixed-window afterwards;
     NaN before the warmup period.
     """
-    close = jnp.asarray(close_prices, jnp.float64)
+    close = jnp.asarray(close_prices, _fdt())
     if bool(jnp.any(close <= 0)):
         raise ValueError("All close prices must be positive.")
     n = close.shape[0]
@@ -125,7 +127,7 @@ def cusum_test_rolling(close_prices, window_size: int = 1000,
 
 def cusum_test_developing(y_prices, warmup_period: int = 30, block: int = 128):
     """Expanding-window CSW test. Parity: structural_break/cusum.py:69-133."""
-    y = jnp.asarray(y_prices, jnp.float64)
+    y = jnp.asarray(y_prices, _fdt())
     n = y.shape[0]
     return _csw_rolling_impl(jnp.log(y), n, int(warmup_period), int(block))
 

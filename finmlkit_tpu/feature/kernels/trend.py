@@ -9,6 +9,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ...config import feature_dtype as _fdt
+
 from ...ops.scan import linear_recurrence
 
 
@@ -69,8 +71,8 @@ def _adx_impl(high, low, close, length: int):
 
 def adx(high, low, close, length: int):
     """Average Directional Index. Parity: core/trend.py:8-96."""
-    high = jnp.asarray(high, jnp.float64)
+    high = jnp.asarray(high, _fdt())
     if high.shape[0] < length + 1:
         return jnp.zeros_like(high)
-    return _adx_impl(high, jnp.asarray(low, jnp.float64),
-                     jnp.asarray(close, jnp.float64), int(length))
+    return _adx_impl(high, jnp.asarray(low, _fdt()),
+                     jnp.asarray(close, _fdt()), int(length))

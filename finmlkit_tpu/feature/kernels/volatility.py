@@ -9,6 +9,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ...config import feature_dtype as _fdt
+
 from ...ops.scan import linear_recurrence
 from ._rolling import roll_nansum_count, roll_sum, warmup_nan
 
@@ -41,7 +43,7 @@ def ewms(y, span: int):
     Parity: core/volatility.py:9-69 (four decayed running sums; NaN
     samples decay the sums without contributing).
     """
-    y = jnp.asarray(y, jnp.float64)
+    y = jnp.asarray(y, _fdt())
     if span <= 1:
         return jnp.full_like(y, jnp.nan)
     return _ewms_impl(y, int(span))
@@ -86,23 +88,23 @@ def ewmst(timestamps, y, half_life, sigma_floor: float = 1e-12):
     sums still receive alpha (reference quirk preserved).
     """
     return _ewmst_impl(jnp.asarray(timestamps, jnp.int64),
-                       jnp.asarray(y, jnp.float64),
+                       jnp.asarray(y, _fdt()),
                        jnp.float64(half_life), jnp.float64(sigma_floor), False)
 
 
 def ewmst_mean0(timestamps, y, half_life, sigma_floor: float = 1e-12):
     """Zero-mean time-decay EWM std. Parity: core/volatility.py:72-136."""
     return _ewmst_impl(jnp.asarray(timestamps, jnp.int64),
-                       jnp.asarray(y, jnp.float64),
+                       jnp.asarray(y, _fdt()),
                        jnp.float64(half_life), jnp.float64(sigma_floor), True)
 
 
 @jax.jit
 def true_range(high, low, close):
     """TR with NaN propagation. Parity: core/volatility.py:222-253."""
-    high = jnp.asarray(high, jnp.float64)
-    low = jnp.asarray(low, jnp.float64)
-    close = jnp.asarray(close, jnp.float64)
+    high = jnp.asarray(high, _fdt())
+    low = jnp.asarray(low, _fdt())
+    close = jnp.asarray(close, _fdt())
     pc = jnp.concatenate([jnp.full((1,), jnp.nan), close[:-1]])
     tr = jnp.maximum(high - low,
                      jnp.maximum(jnp.abs(high - pc), jnp.abs(low - pc)))
@@ -124,7 +126,7 @@ def _realized_vol_impl(r, window: int, is_sample: bool):
 
 def realized_vol(r, window: int, is_sample: bool):
     """Rolling sqrt(nansum(r^2)/n). Parity: core/volatility.py:256-286."""
-    return _realized_vol_impl(jnp.asarray(r, jnp.float64), int(window),
+    return _realized_vol_impl(jnp.asarray(r, _fdt()), int(window),
                               bool(is_sample))
 
 
@@ -143,15 +145,15 @@ def _bollinger_impl(close, window: int, num_std):
 
 def bollinger_percent_b(close, window: int, num_std: float):
     """Bollinger %B via rolling sum/sumsq. Parity: core/volatility.py:289-338."""
-    return _bollinger_impl(jnp.asarray(close, jnp.float64), int(window),
+    return _bollinger_impl(jnp.asarray(close, _fdt()), int(window),
                            jnp.float64(num_std))
 
 
 @jax.jit
 def parkinson_range(high, low):
     """ln(h/l)^2 / (4 ln 2). Parity: core/volatility.py:341-349."""
-    high = jnp.asarray(high, jnp.float64)
-    low = jnp.asarray(low, jnp.float64)
+    high = jnp.asarray(high, _fdt())
+    low = jnp.asarray(low, _fdt())
     return jnp.log(high / low) ** 2 / (4.0 * jnp.log(2.0))
 
 
@@ -196,11 +198,11 @@ def atr(high, low, close, window: int, ema_based: bool = False,
 
     Parity: core/volatility.py:352-437.
     """
-    high = jnp.asarray(high, jnp.float64)
+    high = jnp.asarray(high, _fdt())
     if high.shape[0] < window:
         return jnp.full_like(high, jnp.nan)
-    return _atr_impl(high, jnp.asarray(low, jnp.float64),
-                     jnp.asarray(close, jnp.float64), int(window),
+    return _atr_impl(high, jnp.asarray(low, _fdt()),
+                     jnp.asarray(close, _fdt()), int(window),
                      bool(ema_based), bool(normalize))
 
 
@@ -217,7 +219,7 @@ def _rolling_var_impl(x, window: int, ddof: int, min_periods: int):
 
 def rolling_variance(series, window: int, ddof: int = 1, min_periods: int = 1):
     """NaN-aware rolling variance. Parity: core/volatility.py:440-478."""
-    series = jnp.asarray(series, jnp.float64)
+    series = jnp.asarray(series, _fdt())
     if series.shape[0] < window:
         return jnp.full_like(series, jnp.nan)
     return _rolling_var_impl(series, int(window), int(ddof), int(min_periods))
@@ -225,7 +227,7 @@ def rolling_variance(series, window: int, ddof: int = 1, min_periods: int = 1):
 
 def variance_ratio_1_4(price, window: int, ddof: int = 1, ret_type: str = "log"):
     """var(1-bar ret) / (var(4-bar ret)/4). Parity: core/volatility.py:481-540."""
-    price = jnp.asarray(price, jnp.float64)
+    price = jnp.asarray(price, _fdt())
     n = price.shape[0]
     if n < window + 4:
         return jnp.full_like(price, jnp.nan)

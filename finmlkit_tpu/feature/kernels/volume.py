@@ -12,6 +12,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ...config import feature_dtype as _fdt
+
 from ._rolling import roll_sum, warmup_nan
 
 
@@ -27,7 +29,7 @@ def _flow_acc_impl(volumes, window: int, recent_periods: int):
 
 def comp_flow_acceleration(volumes, window: int, recent_periods: int):
     """log(recent volume sum / past volume sum). Parity: core/volume.py:572-607."""
-    volumes = jnp.asarray(volumes, jnp.float64)
+    volumes = jnp.asarray(volumes, _fdt())
     if volumes.shape[0] < window or recent_periods >= window:
         return jnp.full_like(volumes, jnp.nan)
     return _flow_acc_impl(volumes, int(window), int(recent_periods))
@@ -51,8 +53,8 @@ def vpin(volume_buy, volume_sell, window: int):
 
     Parity: core/volume.py:610-641.
     """
-    return _vpin_impl(jnp.asarray(volume_buy, jnp.float64),
-                      jnp.asarray(volume_sell, jnp.float64), int(window))
+    return _vpin_impl(jnp.asarray(volume_buy, _fdt()),
+                      jnp.asarray(volume_sell, _fdt()), int(window))
 
 
 # ---------------------------------------------------------------------------
