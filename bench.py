@@ -66,33 +66,39 @@ def main():
     t_index = time.time() - t0
     n_bars = int(ci.shape[0]) - 1
 
-    # time the on-device kernels (host pull over this dev tunnel is
-    # ~1MB/s and not representative of chip/PCIe throughput)
+    # time the on-device kernels; block_until_ready does not reliably
+    # wait on this transport, so timing loops end with a 1-element
+    # readback that forces the queued executions to drain (amortized
+    # over k iterations). Host pulls of the full outputs are excluded:
+    # the dev tunnel moves ~1MB/s, unrepresentative of chip/PCIe.
+    def _leaf(r):
+        while isinstance(r, (tuple, list)):
+            r = r[0]
+        return r
+
+    def timed(f, k=8):
+        np.asarray(_leaf(f())[:1])  # warm + drain
+        t0 = time.time()
+        for _ in range(k):
+            r = f()
+        np.asarray(_leaf(r)[:1])
+        return (time.time() - t0) / k
+
     def bar_build():
         return aggregate_q._ohlcv_q_device(tkj, unj, amj, ci)
 
-    # warm-up (compile)
     t0 = time.time()
-    out = jax.block_until_ready(bar_build())
+    out = bar_build()
+    np.asarray(_leaf(out)[:1])
     t_cold = time.time() - t0
+    t_ohlcv = timed(bar_build)
 
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        jax.block_until_ready(bar_build())
-        times.append(time.time() - t0)
-    t_ohlcv = min(times)
-
-    # directional features (separate timing, warm)
     def direc():
         return aggregate_q._directional_q_device(tkj, unj, ci, sdj)
-    jax.block_until_ready(direc())
-    t0 = time.time()
-    jax.block_until_ready(direc())
-    t_direc = time.time() - t0
+    t_direc = timed(direc)
 
     # --- CUSUM events + triple barrier on bar closes ---
-    close_px = np.asarray(out[3]).astype(np.float64) * q.tick_size
+    close_px = np.asarray(out[3], dtype=np.float64) * q.tick_size
     bar_ts = close_ts[1:]
     t0 = time.time()
     events = cusum_filter(np.asarray(close_px), np.array([0.002]), dtype="float32")
@@ -106,10 +112,7 @@ def main():
         return triple_barrier(bar_ts, close_px, events, targets,
                               (1.0, 1.0), 3600.0, min_close_time_sec=0.0)
 
-    jax.block_until_ready(tbm())  # compile
-    t0 = time.time()
-    jax.block_until_ready(tbm())
-    t_tbm = time.time() - t0
+    t_tbm = timed(tbm, k=4)
 
     trades_per_sec = N_TRADES / t_ohlcv
     combined = N_TRADES / (t_ohlcv + t_direc + t_tbm)

@@ -202,19 +202,39 @@ class BarBuilderBase(ABC):
         nb = self._n_bars
         lows = np.asarray(self._lows)
         highs = np.asarray(self._highs)
-        n_levels = (np.round(highs / price_tick_size)
-                    - np.round(lows / price_tick_size) + 1).astype(np.int64)
+        low_t = np.round(lows / price_tick_size).astype(np.int64)
+        high_t = np.round(highs / price_tick_size).astype(np.int64)
+        n_levels = (high_t - low_t + 1).astype(np.int64)
         max_levels = int(next_bucket(max(int(n_levels.max()), 1), 8))
 
         nbp = self._ci_padded.shape[0] - 1
-        lows_p = jnp.asarray(np.concatenate([lows, np.full(nbp - nb, lows[-1])]))
-        highs_p = jnp.asarray(np.concatenate([highs, np.full(nbp - nb, highs[-1])]))
 
-        out = comp_bar_footprints(
-            self._px, self._amt, self._ci_padded, self._side,
-            price_tick_size, lows_p, highs_p, imbalance_factor,
-            max_levels=max_levels)
-        host = {k: np.asarray(v[:nb]) for k, v in out.items()}
+        # integer fast path when the footprint tick grid is an integer
+        # refinement of the quantization grid
+        ratio = None
+        if self._ticks is not None:
+            r = self._tick_size / price_tick_size
+            if abs(r - round(r)) < 1e-9 and round(r) >= 1:
+                ratio = int(round(r))
+        if ratio is not None and abs(low_t.max() * ratio) < 2**31 - 1:
+            from .footprint_q import comp_bar_footprints_q
+            low_p = jnp.asarray(np.concatenate(
+                [low_t, np.full(nbp - nb, low_t[-1])]).astype(np.int32))
+            high_p = jnp.asarray(np.concatenate(
+                [high_t, np.full(nbp - nb, high_t[-1])]).astype(np.int32))
+            foot_ticks = self._ticks.astype(jnp.int32) * ratio
+            out = comp_bar_footprints_q(
+                foot_ticks, self._amt, self._ci_padded, self._side,
+                low_p, high_p, imbalance_factor, max_levels=max_levels)
+            host = {k: np.asarray(v)[:nb] for k, v in out.items()}
+        else:
+            lows_p = jnp.asarray(np.concatenate([lows, np.full(nbp - nb, lows[-1])]))
+            highs_p = jnp.asarray(np.concatenate([highs, np.full(nbp - nb, highs[-1])]))
+            out = comp_bar_footprints(
+                self._px, self._amt, self._ci_padded, self._side,
+                price_tick_size, lows_p, highs_p, imbalance_factor,
+                max_levels=max_levels)
+            host = {k: np.asarray(v[:nb]) for k, v in out.items()}
         return FootprintData(
             bar_timestamps=self.bar_close_timestamps,
             price_tick=price_tick_size,

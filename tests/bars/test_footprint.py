@@ -92,3 +92,37 @@ class TestFootprintAggregation:
         np.testing.assert_allclose(out["sell_volumes"][0, :2], [1.0, 0.0])
         np.testing.assert_allclose(out["buy_volumes"][1, :2], [2.0, 0.0])
         np.testing.assert_allclose(out["sell_volumes"][1, :2], [0.0, 1.0])
+
+
+class TestFootprintQ:
+    def test_q_matches_f64_path(self, trades_small):
+        import pandas as pd
+        from finmlkit_tpu.bar import TradesData, TimeBarKit
+        from finmlkit_tpu.bar import footprint as fp64
+        ts, px, amt, side = trades_small
+        ids = np.arange(len(ts), dtype=np.int64)
+        td = TradesData(ts, px, amt.astype(np.float32), ids,
+                        timestamp_unit="ns", preprocess=True)
+        kit = TimeBarKit(td, pd.Timedelta(minutes=2))
+        kit.build_ohlcv()
+        # q path (tick grid == footprint grid via kit dispatch)
+        fpq = kit.build_footprints(price_tick_size=kit._tick_size)
+        # f64 path, forced
+        kit2 = TimeBarKit(td, pd.Timedelta(minutes=2))
+        kit2.build_ohlcv()
+        kit2._ticks = None
+        fpr = kit2.build_footprints(price_tick_size=kit._tick_size)
+        np.testing.assert_array_equal(fpq.low_level, fpr.low_level)
+        np.testing.assert_array_equal(fpq.n_levels, fpr.n_levels)
+        L = min(fpq.buy_volumes.shape[1], fpr.buy_volumes.shape[1])
+        np.testing.assert_allclose(fpq.buy_volumes[:, :L],
+                                   fpr.buy_volumes[:, :L], rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(fpq.buy_ticks[:, :L], fpr.buy_ticks[:, :L])
+        np.testing.assert_array_equal(fpq.sell_ticks[:, :L], fpr.sell_ticks[:, :L])
+        np.testing.assert_array_equal(fpq.buy_imbalances[:, :L],
+                                      fpr.buy_imbalances[:, :L])
+        np.testing.assert_array_equal(fpq.imb_max_run_signed,
+                                      fpr.imb_max_run_signed)
+        np.testing.assert_array_equal(fpq.cot_price_levels, fpr.cot_price_levels)
+        np.testing.assert_allclose(fpq.vp_skew, fpr.vp_skew, atol=2e-4)
+        np.testing.assert_allclose(fpq.vp_gini, fpr.vp_gini, atol=2e-5)
