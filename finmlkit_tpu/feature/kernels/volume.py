@@ -297,3 +297,53 @@ class VolumePro:
         bars_sub = bars.loc[dt_idx]
         poc, hva, lva, pct = self.compute(bars_sub, sub)
         return sub.bar_timestamps, poc, hva, lva, pct
+
+
+def volume_profile_developing(ts, low_level, n_levels, buy_dense, sell_dense,
+                              start_ts: int, end_ts: int, n_bins=None,
+                              va_pct: float = 68.34):
+    """Developing (cumulative) volume profile between two timestamps.
+
+    Parity: core/volume.py:492-569 — POC/HVA/LVA recomputed after each
+    bar as footprints accumulate on a unified grid covering the range.
+    Returns (timestamps, poc, hva, lva) in integer tick units.
+    """
+    import numpy as np
+    ts_h = np.asarray(ts)
+    start_idx = int(np.searchsorted(ts_h, start_ts))
+    end_idx = int(np.searchsorted(ts_h, end_ts, side="right"))
+    if end_idx <= start_idx:
+        z = np.zeros(0, np.int32)
+        return ts_h[0:0], z, z, z
+
+    lo = np.asarray(low_level)[start_idx:end_idx]
+    nl = np.asarray(n_levels)[start_idx:end_idx]
+    bv = np.asarray(buy_dense)[start_idx:end_idx]
+    sv = np.asarray(sell_dense)[start_idx:end_idx]
+    g_lo = int(lo.min())
+    g_hi = int((lo + nl).max()) - 1
+    LG = g_hi - g_lo + 1
+    nb = end_idx - start_idx
+
+    grid = jnp.zeros((nb, LG), jnp.float32)
+    rows = jnp.arange(nb)[:, None]
+    cols = jnp.arange(bv.shape[1])[None, :]
+    tgt = jnp.asarray(lo)[:, None] - g_lo + cols
+    mask = cols < jnp.asarray(nl)[:, None]
+    flat = jnp.where(mask, rows * LG + tgt, nb * LG)
+    vals = jnp.where(mask, jnp.asarray(bv + sv), 0.0)
+    grid = jax.ops.segment_sum(vals.reshape(-1), flat.reshape(-1),
+                               num_segments=nb * LG + 1)[:-1].reshape(nb, LG)
+    developing = jnp.cumsum(grid, axis=0)
+
+    levels = jnp.asarray(g_lo + np.arange(LG), jnp.int32)
+
+    def one(profile):
+        lv, vol = (levels, profile)
+        if n_bins is not None:
+            lv, vol = _bucket_profile(lv, vol, int(n_bins))
+        return _poc_hva_lva_single(lv, vol, va_pct)[:3]
+
+    poc, hva, lva = jax.lax.map(one, developing, batch_size=64)
+    return (ts_h[start_idx:end_idx], np.asarray(poc, dtype=np.int32),
+            np.asarray(hva, dtype=np.int32), np.asarray(lva, dtype=np.int32))

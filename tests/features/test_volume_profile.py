@@ -124,3 +124,20 @@ class TestVolumeProfileRolling:
         vp = VolumePro(pd.Timedelta(minutes=10), n_bins=9)
         poc, hva, lva, pct = vp.compute(bars, fp)
         assert np.isfinite(poc).sum() > 0
+
+
+class TestDeveloping:
+    def test_developing_monotone_consistency(self, fp_setup):
+        from finmlkit_tpu.feature.kernels.volume import volume_profile_developing
+        bars, fp = fp_setup
+        start = int(fp.bar_timestamps[1])
+        end = int(fp.bar_timestamps[-2])
+        ts_out, poc, hva, lva = volume_profile_developing(
+            fp.bar_timestamps, fp.low_level, fp.n_levels,
+            fp.buy_volumes, fp.sell_volumes, start, end)
+        assert len(ts_out) == len(poc) == len(fp) - 2
+        assert (lva <= poc).all() and (poc <= hva).all()
+        # POC must be a level present in the range
+        lo = fp.low_level[1:-1].min()
+        hi = (fp.low_level[1:-1] + fp.n_levels[1:-1]).max() - 1
+        assert ((poc >= lo) & (poc <= hi)).all()
