@@ -65,6 +65,7 @@ def main():
     ci = jax.block_until_ready(ci)
     t_index = time.time() - t0
     n_bars = int(ci.shape[0]) - 1
+    print(f"# index done: {n_bars:,} bars in {t_index:.1f}s", file=sys.stderr)
 
     # time the on-device kernels; block_until_ready does not reliably
     # wait on this transport, so timing loops end with a 1-element
@@ -92,10 +93,12 @@ def main():
     np.asarray(_leaf(out)[:1])
     t_cold = time.time() - t0
     t_ohlcv = timed(bar_build)
+    print(f"# ohlcv: cold {t_cold:.1f}s warm {t_ohlcv*1000:.1f}ms", file=sys.stderr)
 
     def direc():
         return aggregate_q._directional_q_device(tkj, unj, ci, sdj)
     t_direc = timed(direc)
+    print(f"# directional: warm {t_direc*1000:.1f}ms", file=sys.stderr)
 
     # --- CUSUM events + triple barrier on bar closes ---
     close_px = np.asarray(out[3], dtype=np.float64) * q.tick_size
@@ -103,6 +106,7 @@ def main():
     t0 = time.time()
     events = cusum_filter(np.asarray(close_px), np.array([0.002]), dtype="float32")
     t_cusum = time.time() - t0
+    print(f"# cusum filter: {t_cusum:.1f}s", file=sys.stderr)
     events = events[events < n_bars - 2000]
     if len(events) == 0:
         events = np.arange(10, n_bars - 2000, 97)
