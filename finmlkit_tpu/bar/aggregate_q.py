@@ -426,3 +426,146 @@ def comp_bar_trade_size_features_q(amount_units, amounts_f32, theta, ci,
         "pct_block": pct_block.astype(np.float32),
         "size_gini": gini.astype(np.float32),
     }
+
+
+# ---------------------------------------------------------------------------
+# Fused OHLCV + directional pipeline (bench / batch path): one pre-jit,
+# two multi-column scans, one mid-jit, one base scan, one post-jit
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _products_pre(price_ticks, amount_units, ci, sides):
+    n = price_ticks.shape[0]
+    s64 = sides.astype(jnp.int64)
+    is_buy = s64 == 1
+    is_sell = s64 == -1
+    dollars = price_ticks.astype(jnp.int64) * amount_units
+
+    prev_side = jnp.roll(sides, 1)
+    prev_ticks = jnp.roll(price_ticks, 1)
+    idx = jnp.arange(n, dtype=jnp.int64)
+    valid = (idx > ci[0]) & (idx <= ci[-1])
+    single = valid & _single_trade_bar_mask(ci, n)
+    sign_change = jnp.where(single, sides != 0, sides != prev_side)
+    spread32 = jnp.where(sign_change,
+                         jnp.abs(price_ticks - prev_ticks), 0).astype(jnp.int32)
+    sv = jnp.where(valid, s64, 0)
+
+    rows64 = jnp.stack([
+        amount_units,                           # 0 total volume
+        dollars,                                # 1 total dollars
+        jnp.where(is_buy, amount_units, 0),     # 2
+        jnp.where(is_sell, amount_units, 0),    # 3
+        jnp.where(is_buy, dollars, 0),          # 4
+        jnp.where(is_sell, dollars, 0),         # 5
+        sv * amount_units,                      # 6
+        sv * dollars,                           # 7
+    ])
+    rows32 = jnp.stack([
+        _marks_row(ci, n, jnp.int32),           # 0
+        spread32,                               # 1
+        sv.astype(jnp.int32),                   # 2
+        is_buy.astype(jnp.int32),               # 3
+        is_sell.astype(jnp.int32),              # 4
+    ])
+    return rows64, rows32
+
+
+@jax.jit
+def _products_mid(Phi, Plo, P32, ci):
+    n = P32.shape[1]
+    starts = jnp.clip(ci[:-1] + 1, 0, n - 1)
+
+    def delta_row_pair(hi_row, lo_row):
+        totals = _rsum_pair(hi_row, lo_row, ci)
+        deltas = jnp.concatenate([jnp.zeros((1,), jnp.int64), totals[:-1]])
+        return jnp.zeros((n,), jnp.int64).at[starts].add(deltas)
+
+    def delta_row32(row):
+        totals = _rsum(row, ci)
+        deltas = jnp.concatenate([jnp.zeros((1,), row.dtype), totals[:-1]])
+        return jnp.zeros((n,), row.dtype).at[starts].add(deltas)
+
+    b64 = jnp.stack([delta_row_pair(Phi[6], Plo[6]),
+                     delta_row_pair(Phi[7], Plo[7])])
+    b32 = delta_row32(P32[2])[None, :]
+    return b64, b32
+
+
+@jax.jit
+def _products_post(price_ticks, amounts_f32, ci, sides, Phi, Plo, P32,
+                   B64, B32):
+    n = price_ticks.shape[0]
+    n_bars = ci.shape[0] - 1
+    bar_id, valid = _bar_axis(P32[0], ci, n)
+    counts = range_count(ci)
+
+    # --- OHLCV ---
+    end_idx = _wrap_idx(ci[1:], n)
+    first_idx = _wrap_idx(jnp.minimum(ci[:-1] + 1, n - 1), n)
+    close_t = price_ticks[end_idx]
+    open_t = jnp.where(counts == 0, close_t, price_ticks[first_idx])
+    big32 = jnp.iinfo(jnp.int32)
+    high_t = jax.ops.segment_max(
+        jnp.where(valid, price_ticks, big32.min), bar_id,
+        num_segments=n_bars, indices_are_sorted=True)
+    low_t = jax.ops.segment_min(
+        jnp.where(valid, price_ticks, big32.max), bar_id,
+        num_segments=n_bars, indices_are_sorted=True)
+    high_t = jnp.where(counts == 0, close_t, high_t)
+    low_t = jnp.where(counts == 0, close_t, low_t)
+    vol_u = _rsum_pair(Phi[0], Plo[0], ci)
+    dollar_u = _rsum_pair(Phi[1], Plo[1], ci)
+    sorted_amt = sorted_segments(amounts_f32, bar_id, valid, n_bars)
+    offsets = ci[:-1] - ci[0]
+    med_a, med_b = segment_median_pair(sorted_amt, offsets, counts)
+
+    # --- directional ---
+    ticks_buy = _rsum(P32[3], ci).astype(jnp.int64)
+    ticks_sell = _rsum(P32[4], ci).astype(jnp.int64)
+    volume_buy_u = _rsum_pair(Phi[2], Plo[2], ci)
+    volume_sell_u = _rsum_pair(Phi[3], Plo[3], ci)
+    dollars_buy_u = _rsum_pair(Phi[4], Plo[4], ci)
+    dollars_sell_u = _rsum_pair(Phi[5], Plo[5], ci)
+    cum_spread_t = _rsum(P32[1], ci).astype(jnp.int64)
+
+    def extrema(prefix_row, base_row):
+        big = jnp.iinfo(prefix_row.dtype)
+        local = prefix_row - base_row
+        m = valid & (sides != 0)
+        mx = jax.ops.segment_max(jnp.where(m, local, big.min), bar_id,
+                                 num_segments=n_bars, indices_are_sorted=True)
+        mn = jax.ops.segment_min(jnp.where(m, local, big.max), bar_id,
+                                 num_segments=n_bars, indices_are_sorted=True)
+        return mn, mx
+
+    ct_min, ct_max = extrema(P32[2], B32[0])
+    cvu_min, cvu_max = extrema(combine_i64(Phi[6], Plo[6]), B64[0])
+    cdu_min, cdu_max = extrema(combine_i64(Phi[7], Plo[7]), B64[1])
+
+    spread_t = P32[1] - jnp.concatenate([jnp.zeros((1,), jnp.int32), P32[1][:-1]])
+    max_spread_t = jax.ops.segment_max(
+        jnp.where(valid, spread_t, jnp.int32(-1)), bar_id,
+        num_segments=n_bars, indices_are_sorted=True)
+    max_spread_t = jnp.maximum(max_spread_t, 0).astype(jnp.int64)
+
+    return (open_t, high_t, low_t, close_t, vol_u, dollar_u, counts,
+            med_a, med_b, ticks_buy, ticks_sell, volume_buy_u,
+            volume_sell_u, dollars_buy_u, dollars_sell_u, max_spread_t,
+            cum_spread_t, ct_min, ct_max, cvu_min, cvu_max, cdu_min, cdu_max)
+
+
+def bar_products_q_device(price_ticks, amount_units, amounts_f32, ci, sides):
+    """Fused OHLCV + directional device pipeline (6 dispatches total)."""
+    rows64, rows32 = _products_pre(price_ticks, amount_units, ci, sides)
+    Phi, Plo = fast_cumsum_cols(rows64, as_pair=True)
+    del rows64
+    P32 = fast_cumsum_cols(rows32)
+    del rows32
+    b64, b32 = _products_mid(Phi, Plo, P32, ci)
+    B64 = fast_cumsum_cols(b64)
+    del b64
+    B32 = fast_cumsum_cols(b32)
+    del b32
+    return _products_post(price_ticks, amounts_f32, ci, sides,
+                          Phi, Plo, P32, B64, B32)
