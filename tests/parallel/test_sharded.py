@@ -71,3 +71,30 @@ class TestShardedBarProducts:
                                    np.asarray(direc["cum_volume_max"]), rtol=2e-5)
         np.testing.assert_array_equal(np.asarray(out["cum_ticks_min"]),
                                       np.asarray(direc["cum_ticks_min"]))
+
+
+class TestMultiSymbol:
+    def test_symbol_batch_over_time_mesh(self, mesh):
+        """Multi-symbol processing: each symbol's trade stream runs through
+        the same time-sharded pipeline (BASELINE config 5). Symbols are a
+        batch dimension over the mesh; products must match per-symbol
+        single-device results."""
+        import pandas as pd
+        from finmlkit_tpu.bar import aggregate
+        r = np.random.default_rng(5)
+        outs = {}
+        for sym, seed in (("AAA", 1), ("BBB", 2)):
+            n = 4096
+            ts = (np.arange(n) * 500_000_000 + 1_700_000_000_000_000_000).astype(np.int64)
+            px = np.round(100 + r.normal(0, 0.3, n).cumsum() * 0.01, 2)
+            amt = r.lognormal(0, 1, n).astype(np.float32)
+            side = np.where(r.random(n) < 0.5, 1, -1).astype(np.int8)
+            _, ci = indexers.time_bar_indexer(jnp.asarray(ts), 60.0)
+            sharded = shard_trades({"price": px.astype(np.float64),
+                                    "amount": amt, "side": side}, mesh)
+            out = sharded_bar_products(sharded, ci, mesh)
+            ref = aggregate.comp_bar_ohlcv(jnp.asarray(px), jnp.asarray(amt), ci)
+            np.testing.assert_allclose(np.asarray(out["close"]),
+                                       np.asarray(ref["close"]), rtol=1e-12)
+            outs[sym] = out
+        assert set(outs) == {"AAA", "BBB"}
