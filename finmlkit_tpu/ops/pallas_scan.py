@@ -123,6 +123,23 @@ def _cumsum_2d_i64(hi, lo, interpret=False):
     )(hi, lo)
 
 
+def _runs_on_tpu(x) -> bool:
+    """True when ``x`` will execute on a TPU device.
+
+    Checks the concrete array's committed device first — under
+    ``jax.default_device(cpu)`` on a TPU-default process (virtual CPU
+    mesh dryruns), ``jax.default_backend()`` still reports "tpu" while
+    the data lives on CPU, where the Pallas kernel can't compile.
+    """
+    devices = getattr(x, "devices", None)
+    if devices is not None:
+        try:
+            return any(d.platform == "tpu" for d in devices())
+        except Exception:
+            pass
+    return jax.default_backend() == "tpu"
+
+
 def fast_cumsum(x, interpret: bool | None = None):
     """Inclusive prefix sum via the Pallas chunked-scan kernel.
 
@@ -131,7 +148,7 @@ def fast_cumsum(x, interpret: bool | None = None):
     internally; any 1-D int32/int64/float32 array.
     """
     if interpret is None:
-        if jax.default_backend() != "tpu":
+        if not _runs_on_tpu(x):
             return jnp.cumsum(x)
         interpret = False
     n = x.shape[0]
@@ -271,7 +288,7 @@ def fast_cumsum_cols(x, interpret: bool | None = None, as_pair: bool = False):
     halving peak HBM at monthly trade counts.
     """
     if interpret is None:
-        if jax.default_backend() != "tpu":
+        if not _runs_on_tpu(x):
             out = jnp.cumsum(x, axis=1)
             if as_pair and x.dtype == jnp.int64:
                 return ((out >> 32).astype(jnp.int32),

@@ -7,7 +7,8 @@ boundaries. Each shard reduces its local trades into *global* per-bar
 partials, then:
 
 - sums combine with ``psum`` over the mesh axis,
-- extrema combine with ``pmax``/``pmin``,
+- extrema combine with all_gather + axiswise max/min (pmax/pmin are
+  avoided: some TPU AOT compilers lower only Sum all-reduces),
 - the within-bar running-imbalance extrema need each shard's *global*
   prefix sums, so shards exchange their local totals (all_gather over
   ICI) and add the exclusive prefix of preceding shards — exactly the
@@ -61,15 +62,18 @@ def _bar_partials(px, amt, side, ci, axis_name):
                                     num_segments=n_bars, indices_are_sorted=True)
         return jax.lax.psum(local, axis_name)
 
+    # extrema combine via all_gather + axiswise max/min rather than
+    # pmax/pmin: some TPU AOT compilers lower only Sum all-reduces, and
+    # the gathered (n_shards, n_bars) intermediate is small.
     def seg_max(x, fill):
         local = jax.ops.segment_max(jnp.where(valid, x, fill), bar_id,
                                     num_segments=n_bars, indices_are_sorted=True)
-        return jax.lax.pmax(local, axis_name)
+        return jax.lax.all_gather(local, axis_name).max(axis=0)
 
     def seg_min(x, fill):
         local = jax.ops.segment_min(jnp.where(valid, x, fill), bar_id,
                                     num_segments=n_bars, indices_are_sorted=True)
-        return jax.lax.pmin(local, axis_name)
+        return jax.lax.all_gather(local, axis_name).min(axis=0)
 
     def owned_gather(pos):
         """Value of px at global positions `pos` (one owner shard each)."""
@@ -122,12 +126,12 @@ def _bar_partials(px, amt, side, ci, axis_name):
         base = jax.lax.psum(jnp.where(pos >= 0, base_vals, 0.0), axis_name)
         local_cum = gprefix - base[bar_id]
         m = valid & (s != 0)
-        mx = jax.lax.pmax(jax.ops.segment_max(
+        mx = jax.lax.all_gather(jax.ops.segment_max(
             jnp.where(m, local_cum, -jnp.inf), bar_id, num_segments=n_bars,
-            indices_are_sorted=True), axis_name)
-        mn = jax.lax.pmin(jax.ops.segment_min(
+            indices_are_sorted=True), axis_name).max(axis=0)
+        mn = jax.lax.all_gather(jax.ops.segment_min(
             jnp.where(m, local_cum, jnp.inf), bar_id, num_segments=n_bars,
-            indices_are_sorted=True), axis_name)
+            indices_are_sorted=True), axis_name).min(axis=0)
         return jnp.minimum(mn, 1e9), jnp.maximum(mx, -1e9)
 
     ct_min, ct_max = cum_extrema(s)
