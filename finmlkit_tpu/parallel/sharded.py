@@ -173,3 +173,163 @@ def sharded_bar_products(trades: dict, ci, mesh: Mesh, axis_name: str = "t"):
     )
     ci = jnp.asarray(ci, jnp.int64)
     return jax.jit(fn)(trades["price"], trades["amount"], trades["side"], ci)
+
+
+# ---------------------------------------------------------------------------
+# Distributed per-bar order statistics (median / quantiles across shards)
+# ---------------------------------------------------------------------------
+
+def _kth_partials(vals, ci, ks, axis_name):
+    """k-th smallest trade amount per bar, across shards, via radix select.
+
+    TPU-native distributed order statistics: no global sort, no gather of
+    the trade axis. Each shard sorts only its *local* ``(bar_id, value)``
+    keys (one int64 sort, the same packing as
+    :func:`finmlkit_tpu.ops.segment.sorted_segments`). The k-th value is
+    then resolved bit-by-bit over the 32 order-preserving float bits: per
+    bit, a replicated per-bar candidate is counted locally (searchsorted
+    into the local sorted keys) and the counts combine with ``psum`` over
+    ICI — 32 rounds of an (n_q, n_bars) all-reduce, O(local) memory.
+
+    Greedy MSB-first construction of the largest value ``v`` with
+    ``count(< v) <= k`` is exact because the predicate is downward-closed
+    in ``v``; that maximum *is* the k-th (0-indexed) order statistic.
+
+    :param vals: local f32 value shard.
+    :param ci: replicated close indices (n_bars+1,).
+    :param ks: replicated (n_q, n_bars) int64 ranks, 0-indexed within bar.
+    :returns: (n_q, n_bars) f32 values (garbage for empty bars — mask).
+    """
+    from ..ops.segment import _f32_sortable_bits, _f32_from_sortable_bits
+
+    local_n = vals.shape[0]
+    n_bars = ci.shape[0] - 1
+    me = jax.lax.axis_index(axis_name)
+    offset = (me * local_n).astype(jnp.int64)
+    gidx = offset + jnp.arange(local_n, dtype=jnp.int64)
+    bar_id = jnp.clip(jnp.searchsorted(ci[1:], gidx, side="left"), 0, n_bars - 1)
+    valid = (gidx > ci[0]) & (gidx <= ci[-1])
+
+    bits = _f32_sortable_bits(vals.astype(jnp.float32)).astype(jnp.uint64)
+    bid = jnp.where(valid, bar_id, n_bars).astype(jnp.uint64)
+    skey = jnp.sort(((bid << 32) | bits).astype(jnp.int64))
+
+    bars = jnp.arange(n_bars, dtype=jnp.int64)
+    base = jnp.searchsorted(skey, bars << 32, side="left")  # local rank of bar start
+
+    def bit_step(i, v):
+        b = (31 - i).astype(jnp.uint32)
+        cand = v | (jnp.uint32(1) << b)
+        keyc = (bars[None, :] << 32) | cand.astype(jnp.int64)
+        lc = jnp.searchsorted(skey, keyc.reshape(-1), side="left")
+        lc = lc.reshape(cand.shape) - base[None, :]
+        tot = jax.lax.psum(lc, axis_name)
+        return jnp.where(tot <= ks, cand, v)
+
+    v = jax.lax.fori_loop(0, 32, bit_step, jnp.zeros(ks.shape, jnp.uint32))
+    return _f32_from_sortable_bits(v)
+
+
+def sharded_segment_kth(values, ci, ks, mesh: Mesh, axis_name: str = "t"):
+    """k-th order statistic per bar over sharded values (see _kth_partials)."""
+    fn = shard_map(
+        partial(_kth_partials, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(P(axis_name), P(None), P(None)),
+        out_specs=P(None),
+        check_vma=False,
+    )
+    return jax.jit(fn)(values, jnp.asarray(ci, jnp.int64),
+                       jnp.asarray(ks, jnp.int64))
+
+
+def sharded_median_trade_size(trades: dict, ci, mesh: Mesh, axis_name: str = "t"):
+    """Per-bar median trade size across the mesh (numpy median semantics:
+    mean of the two middle values). Matches the single-chip
+    ``comp_bar_ohlcv['median_trade_size']`` (empty bars → 0.0). The final
+    f64 average happens host-side, like the single-chip TPU path."""
+    ci_np = np.asarray(ci, np.int64)
+    counts = np.diff(ci_np)
+    k_lo = np.maximum(counts - 1, 0) >> 1
+    k_hi = np.maximum(counts, 1) >> 1
+    vals = np.asarray(sharded_segment_kth(
+        trades["amount"], ci_np, np.stack([k_lo, k_hi]), mesh, axis_name))
+    med = (vals[0].astype(np.float64) + vals[1].astype(np.float64)) * 0.5
+    return np.where(counts == 0, 0.0, med)
+
+
+def _size_sum_partials(amt, ci, thr, axis_name):
+    """Per-shard partials for trade-size features (sums combine via psum)."""
+    local_n = amt.shape[0]
+    n_bars = ci.shape[0] - 1
+    me = jax.lax.axis_index(axis_name)
+    gidx = (me * local_n).astype(jnp.int64) + jnp.arange(local_n, dtype=jnp.int64)
+    bar_id = jnp.clip(jnp.searchsorted(ci[1:], gidx, side="left"), 0, n_bars - 1)
+    valid = (gidx > ci[0]) & (gidx <= ci[-1])
+
+    a = jnp.where(valid, amt.astype(jnp.float64), 0.0)
+
+    def seg_sum(x):
+        local = jax.ops.segment_sum(x, bar_id, num_segments=n_bars,
+                                    indices_are_sorted=True)
+        return jax.lax.psum(local, axis_name)
+
+    total = seg_sum(a)
+    sumsq = seg_sum(a * a)
+    block = seg_sum(jnp.where(a > thr[bar_id], a, 0.0))
+    return total, sumsq, block
+
+
+def sharded_trade_size_features(trades: dict, ci, theta, mesh: Mesh,
+                                theta_mult: float = 5.0, axis_name: str = "t"):
+    """Trade-size features across the mesh; parity with the single-chip
+    ``comp_bar_trade_size_features`` (reference semantics at
+    /root/reference/finmlkit/bar/base.py:549-612): log1p-scaled mean and
+    p95 vs theta, block-volume percentage, size Gini, with the same NaN
+    rules. Sums combine with psum; the p95 order statistics come from the
+    distributed radix select; f64 assembly is host-side numpy."""
+    ci_np = np.asarray(ci, np.int64)
+    counts = np.diff(ci_np)
+    empty = counts == 0
+    theta = np.asarray(theta, np.float64)
+    thr = theta * theta_mult
+
+    fn = shard_map(
+        partial(_size_sum_partials, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(P(axis_name), P(None), P(None)),
+        out_specs=P(None),
+        check_vma=False,
+    )
+    total, sumsq, block = jax.jit(fn)(
+        trades["amount"], jnp.asarray(ci_np), jnp.asarray(thr))
+    total = np.asarray(total); sumsq = np.asarray(sumsq); block = np.asarray(block)
+
+    # p95 bracketing order statistics (numpy linear interpolation)
+    cm1 = np.maximum(counts, 1) - 1
+    k_lo = (cm1 * 95) // 100
+    k_hi = np.minimum(k_lo + 1, cm1)
+    vals = np.asarray(sharded_segment_kth(
+        trades["amount"], ci_np, np.stack([k_lo, k_hi]), mesh, axis_name))
+    pos = 0.95 * cm1.astype(np.float64)
+    frac = pos - k_lo.astype(np.float64)
+    p95 = vals[0].astype(np.float64) * (1.0 - frac) + vals[1].astype(np.float64) * frac
+
+    mean = total / np.maximum(counts, 1).astype(np.float64)
+    base_nan = empty | (theta == 0.0)
+    safe_thr = np.where(thr > 0, thr, 1.0)
+    mean_size_rel = np.where(base_nan, np.nan, np.log1p(mean / safe_thr))
+    size_95_rel = np.where(base_nan, np.nan, np.log1p(p95 / safe_thr))
+
+    vol_nan = base_nan | (total == 0.0)
+    safe_total = np.where(total > 0, total, 1.0)
+    pct_block = np.where(vol_nan, np.nan, block / safe_total)
+    gini = np.where(vol_nan, np.nan, 1.0 - sumsq / (safe_total * safe_total))
+    gini = np.where(vol_nan, np.nan, np.where(counts == 1, 0.0, gini))
+
+    return {
+        "mean_size_rel": mean_size_rel.astype(np.float32),
+        "size_95_rel": size_95_rel.astype(np.float32),
+        "pct_block": pct_block.astype(np.float32),
+        "size_gini": gini.astype(np.float32),
+    }

@@ -98,3 +98,52 @@ class TestMultiSymbol:
                                        np.asarray(ref["close"]), rtol=1e-12)
             outs[sym] = out
         assert set(outs) == {"AAA", "BBB"}
+
+
+class TestShardedOrderStatistics:
+    """Distributed radix-select order statistics must match the
+    single-device one-sort path exactly (same f32 order statistics,
+    same host-side f64 assembly)."""
+
+    def test_median_matches_single_device(self, mesh, trades_small):
+        from finmlkit_tpu.parallel import sharded_median_trade_size
+        ts, px, amt, side = trades_small
+        _, ci = indexers.time_bar_indexer(jnp.asarray(ts), 60.0)
+        ref = aggregate.comp_bar_ohlcv(
+            jnp.asarray(px), jnp.asarray(amt, jnp.float32), ci)
+        sharded = shard_trades(
+            {"price": px.astype(np.float64), "amount": amt.astype(np.float32),
+             "side": side.astype(np.int8)}, mesh)
+        med = sharded_median_trade_size(sharded, np.asarray(ci), mesh)
+        np.testing.assert_array_equal(med, np.asarray(ref["median_trade_size"]))
+
+    def test_kth_across_shard_boundaries(self, mesh):
+        from finmlkit_tpu.parallel import sharded_segment_kth
+        # 3 bars all straddling multiple shards; exact k-th checks vs numpy
+        n = 4096
+        r = np.random.default_rng(7)
+        amt = r.lognormal(0, 1, n).astype(np.float32)
+        ci = np.array([-1, 1500, 2500, n - 1], np.int64)
+        sharded = shard_trades({"amount": amt}, mesh)
+        ks = np.array([[0, 5, 100], [10, 999, 1594]], np.int64)
+        out = np.asarray(sharded_segment_kth(sharded["amount"], ci, ks, mesh))
+        for q in range(ks.shape[0]):
+            for b in range(3):
+                seg = np.sort(amt[ci[b] + 1: ci[b + 1] + 1])
+                assert out[q, b] == seg[ks[q, b]], (q, b)
+
+    def test_trade_size_features_match(self, mesh, trades_small):
+        from finmlkit_tpu.parallel import sharded_trade_size_features
+        ts, px, amt, side = trades_small
+        _, ci = indexers.time_bar_indexer(jnp.asarray(ts), 300.0)
+        n_bars = int(ci.shape[0]) - 1
+        r = np.random.default_rng(3)
+        theta = r.uniform(0.01, 0.2, n_bars)
+        theta[0] = 0.0  # NaN rule
+        ref = aggregate.comp_bar_trade_size_features(
+            jnp.asarray(amt, jnp.float32), jnp.asarray(theta), ci, 5.0)
+        sharded = shard_trades({"amount": amt.astype(np.float32)}, mesh)
+        out = sharded_trade_size_features(sharded, np.asarray(ci), theta, mesh)
+        for k in ("mean_size_rel", "size_95_rel", "pct_block", "size_gini"):
+            np.testing.assert_allclose(out[k], np.asarray(ref[k]),
+                                       rtol=1e-6, err_msg=k, equal_nan=True)
