@@ -1,4 +1,5 @@
-from .kit import TimeBarKit, TickBarKit, VolumeBarKit, DollarBarKit, CUSUMBarKit
+from .kit import (TimeBarKit, TickBarKit, VolumeBarKit, DollarBarKit,
+                  CUSUMBarKit, ImbalanceBarKit, RunBarKit)
 from .data_model import TradesData, FootprintData
 
 __all__ = [
@@ -7,6 +8,8 @@ __all__ = [
     "VolumeBarKit",
     "DollarBarKit",
     "CUSUMBarKit",
+    "ImbalanceBarKit",
+    "RunBarKit",
     "TradesData",
     "FootprintData",
 ]

@@ -357,15 +357,149 @@ def cusum_bar_indexer(timestamps: jnp.ndarray, prices: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# Roadmap stubs (parity with the reference's declared-but-unimplemented
-# indexers, logic.py:224-261)
+# Imbalance / run bars (chunked event-jump scans)
+#
+# The reference declares these but raises NotImplementedError
+# (logic.py:224-261; README roadmap unchecked) — this implementation
+# EXCEEDS the reference. Semantics follow AFML ch. 2.3.2 (López de
+# Prado, "information-driven bars") with expectations updated at bar
+# closes: a bar closes at the first trade where the in-bar statistic
+# reaches theta = E[T] * E[rate], where E[T] is an EMA of realized bar
+# tick counts and E[rate] an EMA of the realized per-tick statistic
+# rate. With both EMA alphas at 0 the threshold stays fixed at
+# ``expected_ticks_init * expected_rate_init`` — the constant-threshold
+# mode. Threshold changes only at closes, so within a chunk it is
+# constant and the same vectorized first-crossing detection as the
+# CUSUM indexer applies.
 # ---------------------------------------------------------------------------
 
-def imbalance_bar_indexer(timestamps, prices, volumes, threshold):
-    """Imbalance bars. Parity: logic.py:224-241 (reference also raises)."""
-    raise NotImplementedError("Imbalance bar indexer is not implemented yet.")
+_IMB_CHUNK = 2048
 
 
-def run_bar_indexer(timestamps, prices, volumes, threshold):
-    """Run bars. Parity: logic.py:244-261 (reference also raises)."""
-    raise NotImplementedError("Run bar indexer is not implemented yet.")
+@partial(jax.jit, static_argnames=("max_bars", "chunk", "run_mode"))
+def _info_bar_boundaries(w, e_ticks0, e_rate0, alpha_t, alpha_r,
+                         max_bars: int, chunk: int, run_mode: bool):
+    """Event-jump scan shared by imbalance and run bars.
+
+    ``w`` is the signed per-trade contribution (side, side*volume, or
+    side*dollar). Imbalance mode closes on |cumsum(w)| >= theta; run
+    mode tracks buy and sell magnitudes separately and closes on
+    max(cum_buy, cum_sell) >= theta.
+    """
+    n = w.shape[0]
+    w_p = jnp.concatenate([w, jnp.zeros((chunk,), w.dtype)])
+
+    def cond(state):
+        pos, _, _, _, _, _, k, _ = state
+        return (pos < n) & (k < max_bars)
+
+    def body(state):
+        pos, cb, cs, e_t, e_r, open_pos, k, out = state
+        r = jax.lax.dynamic_slice(w_p, (pos,), (chunk,))
+        if run_mode:
+            sb = cb + jnp.cumsum(jnp.where(r > 0, r, 0.0))
+            ss = cs + jnp.cumsum(jnp.where(r < 0, -r, 0.0))
+            stat = jnp.maximum(sb, ss)
+        else:
+            sb = cb + jnp.cumsum(r)
+            ss = cs  # unused
+            stat = jnp.abs(sb)
+        theta = e_t * e_r
+        in_range = pos + jnp.arange(chunk, dtype=jnp.int64) < n
+        ev = in_range & (stat >= theta)
+        has_ev = jnp.any(ev)
+        e = jnp.argmax(ev).astype(jnp.int64)
+        ev_idx = pos + e
+
+        # EMA updates at the close (realized bar length and rate)
+        t_bar = (ev_idx - open_pos).astype(w.dtype)
+        rate = stat[e] / jnp.maximum(t_bar, 1.0)
+        new_et = jnp.where(has_ev, (1 - alpha_t) * e_t + alpha_t * t_bar, e_t)
+        new_er = jnp.where(has_ev, (1 - alpha_r) * e_r + alpha_r * rate, e_r)
+
+        last = jnp.minimum(n - 1 - pos, chunk - 1)
+        zero = jnp.zeros((), w.dtype)
+        new_cb = jnp.where(has_ev, zero, sb[last])
+        new_cs = jnp.where(has_ev, zero, ss[last]) if run_mode else ss
+
+        out = out.at[k].set(jnp.where(has_ev, ev_idx, out[k]))
+        return (jnp.where(has_ev, ev_idx + 1, pos + chunk),
+                new_cb, new_cs, new_et, new_er,
+                jnp.where(has_ev, ev_idx, open_pos),
+                k + jnp.where(has_ev, 1, 0), out)
+
+    zero = jnp.zeros((), w.dtype)
+    out = jnp.zeros((max_bars,), jnp.int64)
+    init = (jnp.int64(1), zero, zero,
+            jnp.asarray(e_ticks0, w.dtype), jnp.asarray(e_rate0, w.dtype),
+            jnp.int64(0), jnp.int64(0), out)
+    _, _, _, _, _, _, k, out = jax.lax.while_loop(cond, body, init)
+    return out, k
+
+
+def _info_bar_indexer(timestamps, sides, weights, expected_ticks_init,
+                      expected_rate_init, alpha_ticks, alpha_rate, threshold,
+                      max_bars, dtype, run_mode):
+    dt = jnp.float64 if dtype is None else jnp.dtype(dtype)
+    if threshold is not None:
+        if alpha_ticks or alpha_rate:
+            raise ValueError("threshold= selects fixed mode; EMA alphas must be 0")
+        expected_ticks_init, expected_rate_init = 1.0, float(threshold)
+    if expected_ticks_init is None or expected_rate_init is None:
+        raise ValueError("provide either threshold= or both "
+                         "expected_ticks_init= and expected_rate_init=")
+    w = sides.astype(dt) if weights is None else sides.astype(dt) * weights.astype(dt)
+    n = w.shape[0]
+    mb = int(max_bars) if max_bars is not None else max(min(n, 1 << 20), 2)
+    while True:
+        out, k = _info_bar_boundaries(
+            w, float(expected_ticks_init), float(expected_rate_init),
+            float(alpha_ticks), float(alpha_rate), mb, _IMB_CHUNK, run_mode)
+        count = int(k)
+        if count < mb or mb >= n:
+            break
+        mb = min(mb * 4, n)
+    ci = jnp.concatenate([jnp.zeros((1,), jnp.int64), out[:count]])
+    return timestamps[ci], ci
+
+
+def imbalance_bar_indexer(timestamps, sides, weights=None, *,
+                          threshold=None, expected_ticks_init=None,
+                          expected_rate_init=None, alpha_ticks=0.0,
+                          alpha_rate=0.0, max_bars=None, dtype=None):
+    """Imbalance bars (tick/volume/dollar): close when the in-bar signed
+    imbalance ``|sum(side_t * w_t)|`` reaches theta.
+
+    The reference declares this and raises (logic.py:224-241); here it is
+    implemented as a chunked event-jump scan (AFML ch. 2.3.2.1
+    semantics, expectations updated at closes — see module comment).
+
+    :param sides: ±1 tick-rule signs (i8).
+    :param weights: per-trade magnitudes — None for tick imbalance,
+        amounts for volume imbalance, price*amount for dollar imbalance.
+    :param threshold: fixed theta (mutually exclusive with the EMA mode).
+    :param expected_ticks_init: E0[T], initial expected bar tick count.
+    :param expected_rate_init: E0[|imbalance|/tick] initial expectation.
+    :param alpha_ticks, alpha_rate: EMA update rates applied at closes.
+    :param dtype: scan precision — float64 (default) or float32 (TPU
+        fast path, as in :func:`cusum_bar_indexer`).
+    :returns: (close_ts, close_indices), reference ci convention.
+    """
+    return _info_bar_indexer(timestamps, sides, weights, expected_ticks_init,
+                             expected_rate_init, alpha_ticks, alpha_rate,
+                             threshold, max_bars, dtype, run_mode=False)
+
+
+def run_bar_indexer(timestamps, sides, weights=None, *,
+                    threshold=None, expected_ticks_init=None,
+                    expected_rate_init=None, alpha_ticks=0.0,
+                    alpha_rate=0.0, max_bars=None, dtype=None):
+    """Run bars: close when ``max(sum of buy w, sum of sell w)`` within
+    the bar reaches theta (AFML ch. 2.3.2.3; the one-sided "run" length
+    dominance statistic). Reference declares-and-raises (logic.py:244-261).
+
+    Parameters as in :func:`imbalance_bar_indexer`.
+    """
+    return _info_bar_indexer(timestamps, sides, weights, expected_ticks_init,
+                             expected_rate_init, alpha_ticks, alpha_rate,
+                             threshold, max_bars, dtype, run_mode=True)

@@ -305,6 +305,66 @@ class DollarBarKit(BarBuilderBase):
         return indexers.dollar_bar_indexer(ts, px, vol, self.dollar_thrs)
 
 
+class _InfoBarKitBase(BarBuilderBase):
+    """Shared host logic for imbalance / run bar kits.
+
+    The reference declares these bar types but raises NotImplementedError
+    (bar/logic.py:224-261) — implemented here (AFML ch. 2.3.2 semantics;
+    see finmlkit_tpu/bar/indexers.py).
+    """
+
+    _indexer = None  # set by subclass
+
+    def __init__(self, trades: TradesData, mode: str = "tick", *,
+                 threshold: Optional[float] = None,
+                 expected_ticks_init: Optional[float] = None,
+                 expected_rate_init: Optional[float] = None,
+                 alpha_ticks: float = 0.0, alpha_rate: float = 0.0):
+        super().__init__(trades)
+        if mode not in ("tick", "volume", "dollar"):
+            raise ValueError(f"mode must be tick/volume/dollar, got {mode!r}")
+        if self._side is None:
+            raise ValueError("imbalance/run bars need trade sides "
+                             "(preprocess trades with side inference)")
+        self.mode = mode
+        self.threshold = threshold
+        self.expected_ticks_init = expected_ticks_init
+        self.expected_rate_init = expected_rate_init
+        self.alpha_ticks = alpha_ticks
+        self.alpha_rate = alpha_rate
+
+    def _comp_bar_close(self):
+        import jax
+        n = self._n_trades
+        ts = self._ts[:n]
+        side = self._side[:n]
+        if self.mode == "tick":
+            weights = None
+        elif self.mode == "volume":
+            weights = self._amt[:n]
+        else:
+            weights = self._px[:n] * self._amt[:n].astype(jnp.float64) \
+                if jax.default_backend() != "tpu" \
+                else self._px[:n].astype(jnp.float32) * self._amt[:n]
+        dtype = "float32" if jax.default_backend() == "tpu" else None
+        fn = type(self)._indexer
+        return fn(ts, side, weights, threshold=self.threshold,
+                  expected_ticks_init=self.expected_ticks_init,
+                  expected_rate_init=self.expected_rate_init,
+                  alpha_ticks=self.alpha_ticks, alpha_rate=self.alpha_rate,
+                  dtype=dtype)
+
+
+class ImbalanceBarKit(_InfoBarKitBase):
+    """Tick/volume/dollar imbalance bars (beyond-reference; see base)."""
+    _indexer = staticmethod(indexers.imbalance_bar_indexer)
+
+
+class RunBarKit(_InfoBarKitBase):
+    """Tick/volume/dollar run bars (beyond-reference; see base)."""
+    _indexer = staticmethod(indexers.run_bar_indexer)
+
+
 class CUSUMBarKit(BarBuilderBase):
     """Adaptive-threshold CUSUM bars (kit.py:140-181)."""
 
