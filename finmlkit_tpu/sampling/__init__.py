@@ -1,3 +1,3 @@
-from .filters import cusum_filter
+from .filters import cusum_filter, z_score_peak_filter
 
-__all__ = ["cusum_filter"]
+__all__ = ["cusum_filter", "z_score_peak_filter"]
