@@ -1,4 +1,5 @@
 from .mesh import time_mesh
+from .ingest import load_months_parallel, load_store_to_mesh, month_plan
 from .sharded import (
     shard_trades,
     sharded_bar_products,
@@ -9,6 +10,9 @@ from .sharded import (
 
 __all__ = [
     "time_mesh",
+    "load_months_parallel",
+    "load_store_to_mesh",
+    "month_plan",
     "sharded_bar_products",
     "shard_trades",
     "sharded_median_trade_size",
