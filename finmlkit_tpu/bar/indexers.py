@@ -450,13 +450,16 @@ def _info_bar_indexer(timestamps, sides, weights, expected_ticks_init,
                          "expected_ticks_init= and expected_rate_init=")
     w = sides.astype(dt) if weights is None else sides.astype(dt) * weights.astype(dt)
     n = w.shape[0]
-    mb = int(max_bars) if max_bars is not None else max(min(n, 1 << 20), 2)
+    user_cap = max_bars is not None
+    mb = int(max_bars) if user_cap else max(min(n, 1 << 20), 2)
     while True:
         out, k = _info_bar_boundaries(
             w, float(expected_ticks_init), float(expected_rate_init),
             float(alpha_ticks), float(alpha_rate), mb, _IMB_CHUNK, run_mode)
         count = int(k)
-        if count < mb or mb >= n:
+        if user_cap or count < mb or mb >= n:
+            # a user-supplied max_bars is an explicit truncation/memory
+            # bound: honor it instead of silently growing the buffer
             break
         mb = min(mb * 4, n)
     ci = jnp.concatenate([jnp.zeros((1,), jnp.int64), out[:count]])

@@ -66,9 +66,16 @@ def load_months_parallel(filepath: str, months: Sequence[str],
             results[m] = _load_single_group(filepath, m)
     cols = {}
     for name in _COLS:
-        parts = [results[m][name] for m in months if name in results[m]]
-        if parts:
-            cols[name] = np.concatenate(parts)
+        have = [m for m in months if name in results[m]]
+        if not have:
+            continue
+        if len(have) != len(months):
+            missing = [m for m in months if name not in results[m]]
+            raise ValueError(
+                f"column {name!r} present in months {have} but missing in "
+                f"{missing}; a partially-present column would silently "
+                f"misalign the concatenated stream")
+        cols[name] = np.concatenate([results[m][name] for m in months])
     return cols
 
 

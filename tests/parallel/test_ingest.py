@@ -58,8 +58,11 @@ class TestLoadStoreToMesh:
             jnp.asarray(cols["amount"], jnp.float32), ci)
         np.testing.assert_allclose(np.asarray(out["close"]),
                                    np.asarray(ref["close"]), rtol=1e-12)
+        # vwap sums are combined with psum across shards; f64 addition is
+        # not associative, so the reassociated sums differ from the
+        # single-device cumsum by a few ulps (observed 4.3e-12 relative)
         np.testing.assert_allclose(np.asarray(out["vwap"]),
-                                   np.asarray(ref["vwap"]), rtol=1e-12)
+                                   np.asarray(ref["vwap"]), rtol=1e-9)
         np.testing.assert_array_equal(np.asarray(out["trades"]),
                                       np.asarray(ref["trades"]))
 
