@@ -5,6 +5,15 @@ Reproduces the reference's headline workload (1 month of BTCUSDT trades,
 FinMLKit warm time 0.173 s) on synthetic trades of the same size, plus
 triple-barrier labeling over CUSUM events, on one TPU chip.
 
+The measured pipeline is the fused path (bar/fused.py): one Pallas scan
+pass + boundary gathers on the chip, with per-bar median selection in
+native C++ on the host overlapped with the device work, and the final
+f64 unit conversion on the ~45k-bar arrays host-side. The timed loop
+covers everything: device dispatches, host medians, the per-bar output
+readback and unit conversion — i.e. the caller gets finished OHLCV +
+directional feature arrays each iteration (a superset of the
+reference's 0.173 s OHLCV-only product).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline compares bar-build trades/sec against the Numba reference's
 published warm throughput (39,171,929 / 0.173 s = 2.264e8 trades/s).
@@ -35,7 +44,7 @@ def synth_trades(n, seed=0):
 def main():
     import jax
     import jax.numpy as jnp
-    from finmlkit_tpu.bar import aggregate_q
+    from finmlkit_tpu.bar import fused
     from finmlkit_tpu.bar.indexers import time_bar_indexer
     from finmlkit_tpu.bar.quantize import quantize_trades
     from finmlkit_tpu.label.tbm import triple_barrier
@@ -56,7 +65,6 @@ def main():
     tsj = jax.device_put(jnp.asarray(ts))
     tkj = jax.device_put(jnp.asarray(q.price_ticks))
     unj = jax.device_put(jnp.asarray(q.amount_units))
-    amj = jax.device_put(jnp.asarray(amount))
     sdj = jax.device_put(jnp.asarray(side))
 
     # --- 1-min time bars ---
@@ -65,55 +73,57 @@ def main():
     ci = jax.block_until_ready(ci)
     t_index = time.time() - t0
     n_bars = int(ci.shape[0]) - 1
+    ci_host = np.asarray(ci)
     print(f"# index done: {n_bars:,} bars in {t_index:.1f}s", file=sys.stderr)
 
-    # time the on-device kernels; block_until_ready does not reliably
-    # wait on this transport, so timing loops end with a 1-element
-    # readback that forces the queued executions to drain (amortized
-    # over k iterations). Host pulls of the full outputs are excluded:
-    # the dev tunnel moves ~1MB/s, unrepresentative of chip/PCIe.
-    def _leaf(r):
-        while isinstance(r, (tuple, list)):
-            r = r[0]
-        return r
-
-    def timed(f, k=8):
-        np.asarray(_leaf(f())[:1])  # warm + drain
-        t0 = time.time()
-        for _ in range(k):
-            r = f()
-        np.asarray(_leaf(r)[:1])
-        return (time.time() - t0) / k
-
-    # fused OHLCV + directional pipeline (the headline bar build)
+    # fused OHLCV + directional pipeline: returns finished host arrays
+    # (device scan + boundary gathers, host-native medians overlapped,
+    # f64 unit conversion on the per-bar arrays)
     def products():
-        return aggregate_q.bar_products_q_device(tkj, unj, amj, ci, sdj)
+        return fused.bar_products_fused(
+            tkj, unj, ci, sdj, tick_size=q.tick_size,
+            amount_scale=q.amount_scale, amounts_host=amount,
+            ci_host=ci_host)
 
     t0 = time.time()
-    out = products()
-    np.asarray(_leaf(out)[:1])
+    ohlcv, direc = products()
     t_cold = time.time() - t0
-    t_products = timed(products, k=6)
+    k = 6
+    t0 = time.time()
+    for _ in range(k):
+        ohlcv, direc = products()
+    t_products = (time.time() - t0) / k
     print(f"# bar products (ohlcv+directional): cold {t_cold:.1f}s "
           f"warm {t_products*1000:.1f}ms", file=sys.stderr)
 
     # --- CUSUM events + triple barrier on bar closes ---
-    close_px = np.asarray(out[3], dtype=np.float64) * q.tick_size
+    close_px = ohlcv["close"]
     bar_ts = close_ts[1:]
     t0 = time.time()
-    events = cusum_filter(np.asarray(close_px), np.array([0.002]), dtype="float32")
+    events = cusum_filter(close_px, np.array([0.002]))
     t_cusum = time.time() - t0
-    print(f"# cusum filter: {t_cusum:.1f}s", file=sys.stderr)
+    print(f"# cusum filter: {t_cusum*1000:.1f}ms ({len(events)} events)",
+          file=sys.stderr)
     events = events[events < n_bars - 2000]
     if len(events) == 0:
         events = np.arange(10, n_bars - 2000, 97)
     targets = np.full(len(events), 0.003)
 
+    def _leaf(r):
+        while isinstance(r, (tuple, list)):
+            r = r[0]
+        return r
+
     def tbm():
         return triple_barrier(bar_ts, close_px, events, targets,
                               (1.0, 1.0), 3600.0, min_close_time_sec=0.0)
 
-    t_tbm = timed(tbm, k=4)
+    np.asarray(_leaf(tbm())[:1])
+    t0 = time.time()
+    for _ in range(4):
+        r = tbm()
+    np.asarray(_leaf(r)[:1])
+    t_tbm = (time.time() - t0) / 4
 
     trades_per_sec = N_TRADES / t_products
     combined = N_TRADES / (t_products + t_tbm)

@@ -1,0 +1,288 @@
+"""Fused TPU bar-products pipeline (the single-chip fast path).
+
+Three dispatches end-to-end for the full OHLCV + directional product set
+(reference workload: comp_bar_ohlcv + comp_bar_directional_features,
+/root/reference/finmlkit/bar/base.py:306-546):
+
+1. ``_prep_planes`` — one jit building the 8 masked int32 input planes
+   (ticks, unit/dollar hi-lo pairs, sides, flags, spread) on the device;
+2. :func:`finmlkit_tpu.ops.fused_scan.bar_scan_planes` — ONE Pallas pass
+   computing every prefix sum and per-bar running extremum;
+3. ``_gather_post`` — one jit gathering the 20 planes at the ~n_bars
+   boundary positions (two-level row gathers: boundary>>7 row fetch then
+   lane select — measured ~5x faster than flat gathers here).
+
+Per-bar medians (np.median parity) run on the host in native C++
+(finmlkit_tpu.native.seg_median_pair) *overlapped* with the device
+dispatches — selection over ~1k-element cache-resident segments is a
+latency workload the TPU is the wrong engine for, exactly the part the
+reference leaves in Numba machine code. A device sort fallback
+(ops.segment.sorted_segments) covers hosts without a toolchain.
+
+Everything here uses 1-D (rows, 128) planes: (C, n) row-stacked arrays
+execute ~200x slower on this TPU (the round-1 design's core mistake).
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import native
+from ..ops.fused_scan import BLOCK, bar_scan_planes
+
+__all__ = ["bar_products_fused", "prep_planes", "gather_planes"]
+
+
+def _n_rows(n: int) -> int:
+    return ((n + BLOCK - 1) // BLOCK) * (BLOCK // 128)
+
+
+@partial(jax.jit, static_argnames=("n_pad",))
+def _prep_planes(price_ticks, amount_units, sides, ci, n_pad: int):
+    """Build the 8 masked (rows, 128) int32 input planes in one jit."""
+    n = price_ticks.shape[0]
+    pad = n_pad - n
+    idx = jnp.arange(n, dtype=jnp.int64)
+    valid = (idx > ci[0]) & (idx <= ci[-1])
+
+    # bar-open marks at every ci[k] + 1 that lands inside the stream
+    pos = jnp.clip(ci + 1, 0, n_pad)
+    pos = jnp.where(ci + 1 < n, pos, n_pad)  # out-of-stream -> dropped slot
+    marks = jnp.zeros((n_pad + 1,), jnp.int32).at[pos].set(1)[:n_pad]
+
+    side32 = jnp.where(valid, sides.astype(jnp.int32), 0)
+    units = jnp.where(valid, amount_units, 0)
+    dollars = price_ticks.astype(jnp.int64) * units
+
+    # tick-sign-change spread (reference comp_bar_directional_features
+    # semantics, bar/base.py:409-546): single-trade bars compare against
+    # side != 0; others against the previous trade
+    prev_side = jnp.roll(sides, 1)
+    prev_ticks = jnp.roll(price_ticks, 1)
+    one = jnp.diff(ci) == 1
+    spos = jnp.where(one, ci[1:], n)
+    single_m = jnp.zeros((n + 1,), jnp.bool_).at[jnp.clip(spos, 0, n)].set(True)[:n]
+    sign_change = jnp.where(valid & single_m, sides != 0, sides != prev_side)
+    spread = jnp.where(valid & sign_change,
+                       jnp.abs(price_ticks - prev_ticks), 0).astype(jnp.int32)
+
+    def plane(x, dtype=jnp.int32):
+        x = x.astype(dtype)
+        x = jnp.concatenate([x, jnp.zeros((pad,), dtype)]) if pad else x
+        return x.reshape(-1, 128)
+
+    flags = valid.astype(jnp.int32) | (marks << 1)[:n]
+    return (plane(price_ticks),
+            plane(units.astype(jnp.uint32).astype(jnp.int32)),
+            plane(units >> 32),
+            plane(dollars.astype(jnp.uint32).astype(jnp.int32)),
+            plane(dollars >> 32),
+            plane(side32),
+            plane(flags),
+            plane(spread))
+
+
+def prep_planes(price_ticks, amount_units, sides, ci):
+    n = int(price_ticks.shape[0])
+    return _prep_planes(price_ticks, amount_units, sides, ci,
+                        _n_rows(n) * 128), n
+
+
+def _g(plane, pos):
+    """Two-level gather: row fetch then lane select."""
+    rows = plane[pos >> 7]
+    return rows[jnp.arange(pos.shape[0]), pos & 127]
+
+
+@jax.jit
+def _gather_post(planes, ticks_plane, ci):
+    """Gather the 20 scan planes at bar boundaries; per-bar raw outputs."""
+    (pbu_hi, pbu_lo, psu_hi, psu_lo, pbd_hi, pbd_lo, psd_hi, psd_lo,
+     ptu_hi, ptu_lo, ptd_hi, ptd_lo,
+     ptb, pts, psp, r_high, r_low, r_spmax, r_ctmin, r_ctmax,
+     r_cvmin, r_cvmax, r_cdmin, r_cdmax) = planes
+    n_elems = ticks_plane.shape[0] * 128
+    e = jnp.clip(ci[1:], 0, n_elems - 1).astype(jnp.int32)
+    a_raw = ci[:-1]
+    amask = a_raw >= 0
+    a = jnp.clip(a_raw, 0, n_elems - 1).astype(jnp.int32)
+
+    def pair_at(hi, lo, pos):
+        return (_g(hi, pos).astype(jnp.int64) << 32) | \
+            _g(lo, pos).astype(jnp.uint32).astype(jnp.int64)
+
+    def rsum_pair(hi, lo):
+        end = pair_at(hi, lo, e)
+        start = jnp.where(amask, pair_at(hi, lo, a), 0)
+        return end - start
+
+    def rsum_i32(p):
+        end = _g(p, e)
+        start = jnp.where(amask, _g(p, a), 0)
+        return (end - start).astype(jnp.int64)
+
+    vol_buy_u = rsum_pair(pbu_hi, pbu_lo)
+    vol_sell_u = rsum_pair(psu_hi, psu_lo)
+    dol_buy_u = rsum_pair(pbd_hi, pbd_lo)
+    dol_sell_u = rsum_pair(psd_hi, psd_lo)
+    vol_u = rsum_pair(ptu_hi, ptu_lo)
+    dollar_u = rsum_pair(ptd_hi, ptd_lo)
+    ticks_buy = rsum_i32(ptb)
+    ticks_sell = rsum_i32(pts)
+    cum_spread_t = rsum_i32(psp)
+
+    counts = jnp.diff(ci)
+    close_t = _g(ticks_plane, e)
+    first_idx = jnp.clip(a_raw + 1, 0, n_elems - 1).astype(jnp.int32)
+    open_raw = _g(ticks_plane, first_idx)
+
+    high_t = _g(r_high, e)
+    low_t = _g(r_low, e)
+    max_spread_t = _g(r_spmax, e)
+    ct_min = _g(r_ctmin, e)
+    ct_max = _g(r_ctmax, e)
+    cv_min = _g(r_cvmin, e)
+    cv_max = _g(r_cvmax, e)
+    cd_min = _g(r_cdmin, e)
+    cd_max = _g(r_cdmax, e)
+
+    return (open_raw, high_t, low_t, close_t, counts, vol_u, dollar_u,
+            vol_buy_u, vol_sell_u, dol_buy_u, dol_sell_u,
+            ticks_buy, ticks_sell, cum_spread_t, max_spread_t,
+            ct_min, ct_max, cv_min, cv_max, cd_min, cd_max)
+
+
+def gather_planes(planes, ticks_plane, ci):
+    return _gather_post(tuple(planes), ticks_plane, ci)
+
+
+_I32MIN = -2147483648
+_I32MAX = 2147483647
+_F32BIG = 3.0e38
+
+
+def fused_raw_device(price_ticks, amount_units, ci, sides,
+                     interpret: bool = False):
+    """Device part of the fused pipeline: 3 dispatches, per-bar raw
+    integer outputs (no medians). ``ci`` must be int64 close indices."""
+    planes_in, _ = prep_planes(price_ticks, amount_units, sides, ci)
+    planes = bar_scan_planes(*planes_in, interpret=interpret)
+    return gather_planes(planes, planes_in[0], ci)
+
+
+def _convert_host(raw, med, tick_size, amount_scale):
+    """Host-side f64 unit conversion on the small per-bar arrays."""
+    (open_raw, high_t, low_t, close_t, counts, vol_u, dollar_u,
+     vol_buy_u, vol_sell_u, dol_buy_u, dol_sell_u,
+     ticks_buy, ticks_sell, cum_spread_t, max_spread_t,
+     ct_min, ct_max, cv_min, cv_max, cd_min, cd_max) = [np.asarray(x) for x in raw]
+    med_a, med_b = med
+    ts, asc = float(tick_size), float(amount_scale)
+    empty = counts == 0
+
+    open_t = np.where(empty, close_t, open_raw)
+    high = np.where(empty, close_t, high_t)
+    low = np.where(empty, close_t, low_t)
+    vol = vol_u.astype(np.float64) * asc
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vwap = np.where(vol_u > 0,
+                        dollar_u / np.where(vol_u > 0, vol_u, 1) * ts, 0.0)
+    median = (med_a.astype(np.float64) + med_b.astype(np.float64)) * 0.5
+
+    total_ticks = ticks_buy + ticks_sell
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean_spread = cum_spread_t.astype(np.float64) * ts / total_ticks
+
+    def minmax_f32(mn, mx, factor):
+        # untouched bars carry +-3e38 sentinels; empty bars gather the
+        # previous bar's running value -> both map to the reference's
+        # +-1e9 init values
+        mnf = np.where(empty | (mn >= _F32BIG / 2), 1e9,
+                       np.minimum(mn.astype(np.float64) * factor, 1e9))
+        mxf = np.where(empty | (mx <= -_F32BIG / 2), -1e9,
+                       np.maximum(mx.astype(np.float64) * factor, -1e9))
+        return mnf, mxf
+
+    cv_min_o, cv_max_o = minmax_f32(cv_min, cv_max, asc)
+    cd_min_o, cd_max_o = minmax_f32(cd_min, cd_max, asc * ts)
+    ct_min_o = np.where(empty | (ct_min == _I32MAX), 10**9,
+                        np.minimum(ct_min.astype(np.int64), 10**9))
+    ct_max_o = np.where(empty | (ct_max == _I32MIN), -10**9,
+                        np.maximum(ct_max.astype(np.int64), -10**9))
+    max_spread_t = np.where(empty, 0, max_spread_t)
+
+    ohlcv = {
+        "open": open_t.astype(np.float64) * ts,
+        "high": high.astype(np.float64) * ts,
+        "low": low.astype(np.float64) * ts,
+        "close": close_t.astype(np.float64) * ts,
+        "volume": np.where(empty, 0.0, vol).astype(np.float32),
+        "vwap": np.where(empty, 0.0, vwap),
+        "trades": counts,
+        "median_trade_size": np.where(empty, 0.0, median),
+    }
+    directional = {
+        "ticks_buy": ticks_buy,
+        "ticks_sell": ticks_sell,
+        "volume_buy": (vol_buy_u.astype(np.float64) * asc).astype(np.float32),
+        "volume_sell": (vol_sell_u.astype(np.float64) * asc).astype(np.float32),
+        "dollars_buy": (dol_buy_u.astype(np.float64) * asc * ts).astype(np.float32),
+        "dollars_sell": (dol_sell_u.astype(np.float64) * asc * ts).astype(np.float32),
+        "mean_spread": mean_spread.astype(np.float32),
+        "max_spread": (np.maximum(max_spread_t, 0).astype(np.float64) * ts).astype(np.float32),
+        "cum_ticks_min": ct_min_o,
+        "cum_ticks_max": ct_max_o,
+        "cum_volume_min": cv_min_o.astype(np.float32),
+        "cum_volume_max": cv_max_o.astype(np.float32),
+        "cum_dollars_min": cd_min_o.astype(np.float32),
+        "cum_dollars_max": cd_max_o.astype(np.float32),
+    }
+    return ohlcv, directional
+
+
+def _median_device(amounts_f32, ci, n):
+    """Device sort fallback for per-bar medians (no native toolchain)."""
+    from ..ops.segment import (bar_ids_from_close_indices,
+                               segment_median_pair, sorted_segments)
+    n_bars = int(ci.shape[0]) - 1
+    bar_id, valid = bar_ids_from_close_indices(ci, n)
+    sorted_amt = sorted_segments(amounts_f32, bar_id, valid, n_bars)
+    offsets = ci[:-1] - ci[0]
+    counts = jnp.diff(ci)
+    med_a, med_b = segment_median_pair(sorted_amt, offsets, counts)
+    return np.asarray(med_a), np.asarray(med_b)
+
+
+def bar_products_fused(price_ticks, amount_units, ci, sides, *,
+                       tick_size, amount_scale,
+                       amounts_host=None, ci_host=None,
+                       amounts_f32=None, interpret: bool = False):
+    """Full fused OHLCV + directional bar products.
+
+    Device work (3 dispatches) and the host-native median selection run
+    overlapped: the device queue is launched first, the host medians
+    compute while it drains.
+
+    :param price_ticks: int32 device array of quantized prices.
+    :param amount_units: int64 device array of quantized amounts.
+    :param ci: int64 close indices (device), reference convention.
+    :param sides: int8 device array of tick-rule signs.
+    :param amounts_host: float32 numpy amounts (enables the native
+        median path; falls back to a device sort when absent).
+    :param ci_host: int64 numpy close indices (with ``amounts_host``).
+    :param amounts_f32: float32 device amounts for the sort fallback.
+    :returns: (ohlcv dict, directional dict) of host numpy arrays.
+    """
+    raw = fused_raw_device(price_ticks, amount_units, ci, sides,
+                           interpret=interpret)
+    med = None
+    if amounts_host is not None and ci_host is not None:
+        med = native.seg_median_pair(amounts_host, ci_host)
+    if med is None:
+        if amounts_f32 is None:
+            amounts_f32 = (amount_units.astype(jnp.float64)
+                           * amount_scale).astype(jnp.float32)
+        med = _median_device(amounts_f32, ci, int(price_ticks.shape[0]))
+    raw = jax.device_get(raw)
+    return _convert_host(raw, med, tick_size, amount_scale)

@@ -1,0 +1,339 @@
+"""Fused single-pass bar-aggregation scan kernel.
+
+One Pallas kernel computes, in a single sequential pass over the trade
+axis, every per-trade running quantity that the OHLCV + directional bar
+products need (reference per-bar loops: comp_bar_ohlcv at
+/root/reference/finmlkit/bar/base.py:306-407 and
+comp_bar_directional_features at bar/base.py:409-546):
+
+- inclusive prefix sums (int64 as exact hi/lo int32 pairs) of buy/sell
+  volume units and buy/sell dollar units;
+- inclusive prefix sums (int32) of buy ticks, sell ticks and spread;
+- per-bar *segmented* running extrema, reset at bar-open marks: price
+  high/low, max spread, and the running in-bar cumulative tick /
+  volume / dollar imbalance min/max.
+
+Everything lives on 1-D trade planes reshaped to ``(rows, 128)`` —
+measured on this TPU, ``(C, n)`` row-stacked layouts execute ~200x
+slower than flat planes (the round-1 pipeline's core mistake), while a
+single-plane Pallas scan runs at memory speed. Downstream consumers
+gather the 20 output planes at the ~n_bars bar-boundary positions only.
+
+Precision: int64 prefix sums and all int32 quantities (high/low ticks,
+spread, tick-imbalance extrema) are exact. The in-bar volume/dollar
+imbalance extrema are computed from the exact pair prefixes but
+*compared and stored* as float32 — their public outputs are float32
+anyway, so only the final rounding differs (<=1 ulp) from the f64
+reference path.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+# 256*128 = 32768 trades per grid step: 32 in/out planes * 128KB * double
+# buffering stays inside the 16MB scoped-VMEM limit (512 rows OOMs)
+ROWS = 256
+BLOCK = ROWS * LANES
+
+_BIAS = np.int32(-2147483648)  # unsigned compare via sign-bit flip
+_I32MIN = np.int32(-2147483647 - 1)
+_I32MAX = np.int32(2147483647)
+_F32BIG = np.float32(3.0e38)
+
+
+def _ge(shape, axis, shift):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, axis) >= shift
+
+
+def _roll(y, shift, axis):
+    return pltpu.roll(y, np.int32(shift), axis)
+
+
+def _scan2d(xs, combine):
+    """Inclusive row-major scan of one or more (R, L) blocks under an
+    associative ``combine((a1, ...), (b1, ...))`` operator (a earlier,
+    b later). Log-shift scan along lanes, then a log-shift scan of row
+    totals down the sublanes, then the row carry is combined into every
+    element.
+    """
+    r, l = xs[0].shape
+
+    def step(ys, shift, axis):
+        shifted = tuple(_roll(y, shift, axis) for y in ys)
+        mask = _ge(ys[0].shape, axis, shift)
+        comb = combine(shifted, ys)
+        return tuple(jnp.where(mask, c, y) for c, y in zip(comb, ys))
+
+    ys = xs
+    shift = 1
+    while shift < l:
+        ys = step(ys, shift, 1)
+        shift *= 2
+    zs = tuple(y[:, l - 1:l] for y in ys)  # (r, 1) inclusive row totals
+    shift = 1
+    while shift < r:
+        zs = step(zs, shift, 0)
+        shift *= 2
+    # exclusive row prefix = scanned totals shifted down one row
+    carry = tuple(_roll(z, 1, 0) for z in zs)
+    not_first_row = _ge((r, 1), 0, 1)
+    comb = combine(carry, ys)
+    return tuple(jnp.where(jnp.broadcast_to(not_first_row, y.shape), c, y)
+                 for c, y in zip(comb, ys))
+
+
+# -- combine operators --------------------------------------------------------
+
+def _c_sum(a, b):
+    return (a[0] + b[0],)
+
+
+def _c_sum_pair(a, b):
+    """Exact int64 addition on (hi, lo) int32 pairs."""
+    lo = a[1] + b[1]
+    ovf = ((lo + _BIAS) < (b[1] + _BIAS)).astype(jnp.int32)
+    return (a[0] + b[0] + ovf, lo)
+
+
+def _c_or(a, b):
+    return (a[0] | b[0],)
+
+
+def _c_last(a, b):
+    """Last-fill of (value, flag): value at the latest set flag."""
+    return (jnp.where(b[1] != 0, b[0], a[0]), a[1] | b[1])
+
+
+def _c_last_pair(a, b):
+    keep = b[2] != 0
+    return (jnp.where(keep, b[0], a[0]), jnp.where(keep, b[1], a[1]),
+            a[2] | b[2])
+
+
+def _c_seg_max(a, b):
+    return (jnp.where(b[1] != 0, b[0], jnp.maximum(a[0], b[0])), a[1] | b[1])
+
+
+def _c_seg_min(a, b):
+    return (jnp.where(b[1] != 0, b[0], jnp.minimum(a[0], b[0])), a[1] | b[1])
+
+
+def _pair_sub(hi1, lo1, hi2, lo2):
+    """Exact int64 subtract on (hi, lo) int32 pairs."""
+    lo = lo1 - lo2
+    borrow = ((lo1 + _BIAS) < (lo2 + _BIAS)).astype(jnp.int32)
+    return hi1 - hi2 - borrow, lo
+
+
+def _pair_neg(hi, lo):
+    return -hi - (lo != 0).astype(jnp.int32), -lo
+
+
+def _pair_to_f32(hi, lo):
+    """(hi, lo) int64 pair -> float32 (f32-rounded)."""
+    # bool->f32 casts recurse in the Mosaic lowering; use a select
+    lo_f = lo.astype(jnp.float32) + jnp.where(
+        lo < 0, jnp.float32(4294967296.0), jnp.float32(0.0))
+    return hi.astype(jnp.float32) * jnp.float32(4294967296.0) + lo_f
+
+
+# scratch slot layout
+_S_PAIRS = 0          # 12 slots: bu, su, bd, sd, tu, td (hi, lo each)
+_S_TB, _S_TS, _S_SP = 12, 13, 14
+_S_CVB, _S_CDB = 15, 17      # pair bases (2 slots each)
+_S_CTB = 19
+_S_HIGH, _S_LOW, _S_SPMAX = 20, 21, 22
+_S_CTMIN, _S_CTMAX = 23, 24
+_N_I32_SLOTS = 25
+_SF_CVMIN, _SF_CVMAX, _SF_CDMIN, _SF_CDMAX = 0, 1, 2, 3
+_N_F32_SLOTS = 4
+
+
+def _bar_scan_kernel(ticks_ref, ulo_ref, uhi_ref, dlo_ref, dhi_ref,
+                     side_ref, flags_ref, spread_ref,
+                     # outputs
+                     pbu_hi, pbu_lo, psu_hi, psu_lo,
+                     pbd_hi, pbd_lo, psd_hi, psd_lo,
+                     ptu_hi, ptu_lo, ptd_hi, ptd_lo,
+                     ptb, pts, psp,
+                     r_high, r_low, r_spmax, r_ctmin, r_ctmax,
+                     r_cvmin, r_cvmax, r_cdmin, r_cdmax,
+                     ci32, cf32):
+    i = pl.program_id(0)
+    first = i == 0
+    z = jnp.zeros((), jnp.int32)
+    last = (ROWS - 1, LANES - 1)
+
+    ticks = ticks_ref[...]
+    ulo = ulo_ref[...]
+    uhi = uhi_ref[...]
+    dlo = dlo_ref[...]
+    dhi = dhi_ref[...]
+    side = side_ref[...]
+    flags = flags_ref[...]
+    spread = spread_ref[...]
+
+    valid = (flags & 1) != 0
+    mark = (flags & 2) != 0
+    mark32 = mark.astype(jnp.int32)
+    is_buy = side == 1
+    is_sell = side == -1
+
+    def c32(k):
+        return jnp.where(first, z, ci32[0, k])
+
+    # ---- plain prefix sums: (hi, lo) int64 pairs -------------------------
+    def pair_prefix(mask, hi_v, lo_v, slot, out_hi, out_lo):
+        hi_in = jnp.where(mask, hi_v, z)
+        lo_in = jnp.where(mask, lo_v, z)
+        hi_s, lo_s = _scan2d((hi_in, lo_in), _c_sum_pair)
+        chi, clo = c32(slot), c32(slot + 1)
+        lo_f = lo_s + clo
+        ovf = ((lo_f + _BIAS) < (lo_s + _BIAS)).astype(jnp.int32)
+        hi_f = hi_s + chi + ovf
+        out_hi[...] = hi_f
+        out_lo[...] = lo_f
+        ci32[0, slot] = hi_f[last]
+        ci32[0, slot + 1] = lo_f[last]
+        return hi_f, lo_f, hi_in, lo_in
+
+    buh, bul, buxh, buxl = pair_prefix(is_buy, uhi, ulo, _S_PAIRS + 0,
+                                       pbu_hi, pbu_lo)
+    suh, sul, suxh, suxl = pair_prefix(is_sell, uhi, ulo, _S_PAIRS + 2,
+                                       psu_hi, psu_lo)
+    bdh, bdl, bdxh, bdxl = pair_prefix(is_buy, dhi, dlo, _S_PAIRS + 4,
+                                       pbd_hi, pbd_lo)
+    sdh, sdl, sdxh, sdxl = pair_prefix(is_sell, dhi, dlo, _S_PAIRS + 6,
+                                       psd_hi, psd_lo)
+    # totals over ALL valid trades (side 0 included): bar volume/vwap
+    pair_prefix(valid, uhi, ulo, _S_PAIRS + 8, ptu_hi, ptu_lo)
+    pair_prefix(valid, dhi, dlo, _S_PAIRS + 10, ptd_hi, ptd_lo)
+
+    # ---- plain int32 prefix sums -----------------------------------------
+    def i32_prefix(v, slot, out):
+        (s,) = _scan2d((v,), _c_sum)
+        s = s + c32(slot)
+        out[...] = s
+        ci32[0, slot] = s[last]
+        return s
+
+    tbm = (is_buy & valid).astype(jnp.int32)
+    tsm = (is_sell & valid).astype(jnp.int32)
+    tb = i32_prefix(tbm, _S_TB, ptb)
+    ts_ = i32_prefix(tsm, _S_TS, pts)
+    i32_prefix(jnp.where(valid, spread, z), _S_SP, psp)
+
+    # inclusive cum-or of marks within the block: before the block's
+    # first mark, carries from previous blocks still apply
+    (seen,) = _scan2d((mark32,), _c_or)
+    seen_b = seen != 0
+
+    # ---- segmented extrema (reset at bar-open marks) ----------------------
+    def seg_max_i32(v, slot, out):
+        m, _ = _scan2d((v, mark32), _c_seg_max)
+        carry = jnp.where(first, _I32MIN, ci32[0, slot])
+        m_f = jnp.where(seen_b, m, jnp.maximum(m, carry))
+        out[...] = m_f
+        ci32[0, slot] = m_f[last]
+
+    def seg_min_i32(v, slot, out):
+        m, _ = _scan2d((v, mark32), _c_seg_min)
+        carry = jnp.where(first, _I32MAX, ci32[0, slot])
+        m_f = jnp.where(seen_b, m, jnp.minimum(m, carry))
+        out[...] = m_f
+        ci32[0, slot] = m_f[last]
+
+    def seg_max_f32(v, slot_f, out):
+        m, _ = _scan2d((v, mark32), _c_seg_max)
+        carry = jnp.where(first, -_F32BIG, cf32[0, slot_f])
+        m_f = jnp.where(seen_b, m, jnp.maximum(m, carry))
+        out[...] = m_f
+        cf32[0, slot_f] = m_f[last]
+
+    def seg_min_f32(v, slot_f, out):
+        m, _ = _scan2d((v, mark32), _c_seg_min)
+        carry = jnp.where(first, _F32BIG, cf32[0, slot_f])
+        m_f = jnp.where(seen_b, m, jnp.minimum(m, carry))
+        out[...] = m_f
+        cf32[0, slot_f] = m_f[last]
+
+    # NOTE: bare Python int literals inside jnp.where recurse in the
+    # Mosaic lowering under x64 (weak int64 constant); use np.int32
+    seg_max_i32(jnp.where(valid, ticks, _I32MIN), _S_HIGH, r_high)
+    seg_min_i32(jnp.where(valid, ticks, _I32MAX), _S_LOW, r_low)
+    seg_max_i32(jnp.where(valid, spread, np.int32(-1)), _S_SPMAX, r_spmax)
+
+    # in-bar running cum imbalances: exact pair prefixes minus the value
+    # at the bar open (last-fill of the exclusive prefix at marks)
+    def bar_base_pair(hi_s, lo_s, x_hi, x_lo, slot):
+        ehi, elo = _pair_sub(hi_s, lo_s, x_hi, x_lo)
+        bhi, blo, _ = _scan2d(
+            (jnp.where(mark, ehi, z), jnp.where(mark, elo, z), mark32),
+            _c_last_pair)
+        bhi = jnp.where(seen_b, bhi, c32(slot))
+        blo = jnp.where(seen_b, blo, c32(slot + 1))
+        ci32[0, slot] = bhi[last]
+        ci32[0, slot + 1] = blo[last]
+        return bhi, blo
+
+    # cv = cum(side*units) = P_bu - P_su ; cd likewise on dollars
+    cv_hi, cv_lo = _pair_sub(buh, bul, suh, sul)
+    cd_hi, cd_lo = _pair_sub(bdh, bdl, sdh, sdl)
+    # this element's signed contribution (pair): x_bu - x_su
+    xu_hi, xu_lo = _pair_sub(buxh, buxl, suxh, suxl)
+    xd_hi, xd_lo = _pair_sub(bdxh, bdxl, sdxh, sdxl)
+
+    cvb_hi, cvb_lo = bar_base_pair(cv_hi, cv_lo, xu_hi, xu_lo, _S_CVB)
+    cdb_hi, cdb_lo = bar_base_pair(cd_hi, cd_lo, xd_hi, xd_lo, _S_CDB)
+
+    rel_cv = _pair_to_f32(*_pair_sub(cv_hi, cv_lo, cvb_hi, cvb_lo))
+    rel_cd = _pair_to_f32(*_pair_sub(cd_hi, cd_lo, cdb_hi, cdb_lo))
+    traded = valid & (side != 0)
+    seg_min_f32(jnp.where(traded, rel_cv, _F32BIG), _SF_CVMIN, r_cvmin)
+    seg_max_f32(jnp.where(traded, rel_cv, -_F32BIG), _SF_CVMAX, r_cvmax)
+    seg_min_f32(jnp.where(traded, rel_cd, _F32BIG), _SF_CDMIN, r_cdmin)
+    seg_max_f32(jnp.where(traded, rel_cd, -_F32BIG), _SF_CDMAX, r_cdmax)
+
+    # ct = cum ticks imbalance = P_tb - P_ts, base-filled at marks (exact i32)
+    ct = tb - ts_
+    e_ct = ct - (tbm - tsm)
+    ctb, _ = _scan2d((jnp.where(mark, e_ct, z), mark32), _c_last)
+    ctb = jnp.where(seen_b, ctb, c32(_S_CTB))
+    ci32[0, _S_CTB] = ctb[last]
+    rel_ct = ct - ctb
+    seg_min_i32(jnp.where(traded, rel_ct, _I32MAX), _S_CTMIN, r_ctmin)
+    seg_max_i32(jnp.where(traded, rel_ct, _I32MIN), _S_CTMAX, r_ctmax)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def bar_scan_planes(ticks, ulo, uhi, dlo, dhi, side, flags, spread,
+                    interpret: bool = False):
+    """Run the fused bar scan over (rows, 128) int32 planes.
+
+    rows must be a multiple of ROWS (= 512). Returns 24 planes: 12 pair
+    prefixes (bu, su, bd, sd, total-units, total-dollars as hi/lo),
+    3 int32 prefixes (tb, ts, spread), 5 int32 running extrema (high,
+    low, spmax, ctmin, ctmax) and 4 float32 running extrema (cvmin,
+    cvmax, cdmin, cdmax).
+    """
+    n_rows = ticks.shape[0]
+    grid = (n_rows // ROWS,)
+    spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, np.int32(0)))
+    shape_i32 = jax.ShapeDtypeStruct(ticks.shape, jnp.int32)
+    shape_f32 = jax.ShapeDtypeStruct(ticks.shape, jnp.float32)
+    out_shapes = [shape_i32] * 20 + [shape_f32] * 4
+    return pl.pallas_call(
+        _bar_scan_kernel,
+        grid=grid,
+        in_specs=[spec] * 8,
+        out_specs=[spec] * 24,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.SMEM((1, _N_I32_SLOTS), jnp.int32),
+                        pltpu.SMEM((1, _N_F32_SLOTS), jnp.float32)],
+        interpret=interpret,
+    )(ticks, ulo, uhi, dlo, dhi, side, flags, spread)

@@ -88,6 +88,20 @@ def cusum_filter(raw_time_series, threshold, max_events: int | None = None,
     if len(thr) == 1:
         thr = np.full(n, thr[0])
 
+    # native host path: the event loop is an inherently sequential,
+    # branchy scan over a small series — C machine code runs it in
+    # microseconds (exact f64 reference semantics), vs thousands of
+    # device round-trips for the event-jump while_loop below
+    from .. import native
+    log_ret = np.empty(n, np.float64)
+    log_ret[0] = 0.0
+    np.log(x[1:] / x[:-1], out=log_ret[1:])
+    # (max_events is a buffer-size hint for the device scan below, not a
+    # truncation cap — the native path always returns every event)
+    ev = native.cusum_filter_events(log_ret, thr)
+    if ev is not None:
+        return ev
+
     dt = jnp.float64 if dtype is None else jnp.dtype(dtype)
     xs = jnp.asarray(x, dt)
     rets = jnp.concatenate([jnp.full((1,), jnp.nan, dt),

@@ -1,0 +1,89 @@
+"""Fused single-pass bar pipeline (ops/fused_scan.py + bar/fused.py) vs
+the f64 reference aggregation path — Pallas kernel in interpret mode on
+CPU (the same kernel compiles natively on the TPU; see BENCH_NOTES.md)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from finmlkit_tpu.bar import aggregate, fused
+from finmlkit_tpu.bar.quantize import quantize_trades
+
+
+def _mk(n=6000, seed=3, zero_side_every=97, n_bars=70):
+    r = np.random.default_rng(seed)
+    price = np.round(100 + np.cumsum(r.normal(0, 0.05, n)), 2)
+    amount = np.maximum(np.round(r.lognormal(-2.5, 1.2, n), 5),
+                        1e-5).astype(np.float32)
+    side = r.choice(np.array([-1, 1], np.int8), n)
+    if zero_side_every:
+        side[::zero_side_every] = 0
+    q = quantize_trades(price, amount)
+    assert q is not None
+    ci = np.concatenate([
+        [-1], np.sort(r.choice(np.arange(1, n - 1), n_bars, replace=False)),
+        [n - 1]]).astype(np.int64)
+    ci = np.unique(ci)
+    # inject an empty bar (duplicate close index)
+    ci = np.sort(np.concatenate([ci, [ci[5]]]))
+    return price, amount, side, q, ci
+
+
+@pytest.fixture(scope="module")
+def case():
+    price, amount, side, q, ci = _mk()
+    ohlcv, direc = fused.bar_products_fused(
+        jnp.asarray(q.price_ticks), jnp.asarray(q.amount_units),
+        jnp.asarray(ci), jnp.asarray(side), tick_size=q.tick_size,
+        amount_scale=q.amount_scale, amounts_host=amount, ci_host=ci,
+        interpret=True)
+    ref_o = aggregate.comp_bar_ohlcv(jnp.asarray(price), jnp.asarray(amount),
+                                     jnp.asarray(ci))
+    ref_d = aggregate.comp_bar_directional_features(
+        jnp.asarray(price), jnp.asarray(amount), jnp.asarray(ci),
+        jnp.asarray(side))
+    return ohlcv, direc, ref_o, ref_d
+
+
+class TestFusedOHLCV:
+    @pytest.mark.parametrize("key", ["open", "high", "low", "close",
+                                     "volume", "vwap", "trades",
+                                     "median_trade_size"])
+    def test_matches_f64_reference(self, case, key):
+        ohlcv, _, ref_o, _ = case
+        np.testing.assert_allclose(
+            np.asarray(ohlcv[key], np.float64),
+            np.asarray(ref_o[key], np.float64), rtol=1e-6, atol=1e-9,
+            err_msg=key)
+
+
+class TestFusedDirectional:
+    @pytest.mark.parametrize("key", [
+        "ticks_buy", "ticks_sell", "volume_buy", "volume_sell",
+        "dollars_buy", "dollars_sell", "mean_spread", "max_spread",
+        "cum_ticks_min", "cum_ticks_max", "cum_volume_min",
+        "cum_volume_max", "cum_dollars_min", "cum_dollars_max"])
+    def test_matches_f64_reference(self, case, key):
+        _, direc, _, ref_d = case
+        a = np.asarray(direc[key], np.float64)
+        b = np.asarray(ref_d[key], np.float64)
+        m = np.isnan(b)
+        assert (np.isnan(a) == m).all(), key
+        # tolerance covers the 1e-8 amount-quantization accumulating
+        # over in-bar sums plus the f32 storage of cv/cd extrema
+        np.testing.assert_allclose(a[~m], b[~m], rtol=3e-5, atol=5e-6,
+                                   err_msg=key)
+
+
+class TestFusedMedianFallback:
+    def test_device_sort_median_matches_native(self):
+        price, amount, side, q, ci = _mk(n=3000, seed=9, n_bars=40)
+        kw = dict(tick_size=q.tick_size, amount_scale=q.amount_scale,
+                  interpret=True)
+        args = (jnp.asarray(q.price_ticks), jnp.asarray(q.amount_units),
+                jnp.asarray(ci), jnp.asarray(side))
+        o_native, _ = fused.bar_products_fused(
+            *args, amounts_host=amount, ci_host=ci, **kw)
+        o_sort, _ = fused.bar_products_fused(
+            *args, amounts_f32=jnp.asarray(amount), **kw)
+        np.testing.assert_allclose(o_sort["median_trade_size"],
+                                   o_native["median_trade_size"], rtol=1e-6)
