@@ -5,8 +5,14 @@ synthetic data. Run on CPU or TPU:
 
     python examples/quickstart.py
 """
+import os
+import sys
+
 import numpy as np
 import pandas as pd
+
+# runnable without installation: repo root onto sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from finmlkit_tpu.bar import TradesData, TimeBarKit, DollarBarKit
 from finmlkit_tpu.feature import Feature, Compose, FeatureKit

@@ -83,7 +83,25 @@ class ReturnT(SISOTransform):
         self.is_log = is_log
 
     def _pd(self, x):
-        return self._jax(x)
+        # genuine pandas/numpy tier (the reference's own _pd falls back
+        # to its numba kernel, transforms.py:104-106 — this exceeds it)
+        s = x[self.requires[0]]
+        close = s.to_numpy(np.float64)
+        ts = self._get_timestamps(x).astype(np.float64)
+        n = len(close)
+        win_ns = self.window_sec * 1e9
+        lag_idx = np.searchsorted(ts, ts - win_ns, side="right") - 1
+        idx = np.arange(n)
+        ok = (lag_idx >= 0) & (lag_idx < idx)
+        base = close[np.clip(lag_idx, 0, n - 1)]
+        safe = np.where(base != 0.0, base, 1.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ret = np.log(close / safe) if self.is_log else close / safe - 1.0
+        ret = np.where(base != 0.0, ret, np.inf)
+        ret = np.where(ok, ret, np.nan)
+        start = np.searchsorted(ts, ts[0] + win_ns, side="left")
+        ret[:start] = np.nan
+        return pd.Series(ret, index=s.index, name=self.output_name)
 
     def _jax(self, x):
         result = K.comp_lagged_returns(self._get_timestamps(x),
@@ -122,7 +140,12 @@ class ROC(SISOTransform):
         self.periods = periods
 
     def _pd(self, x):
-        return self._jax(x)
+        # genuine pandas tier (reference _pd falls back to numba)
+        s = x[self.requires[0]]
+        lag = s.shift(self.periods)
+        out = (s - lag) / lag * 100.0
+        out.name = self.output_name
+        return out
 
     def _jax(self, x):
         return self._prepare_output(
@@ -184,7 +207,18 @@ class StochK(MISOTransform):
         self.length = length
 
     def _pd(self, x):
-        return self._jax(x)
+        # genuine pandas tier (reference _pd falls back to numba),
+        # preserving the reference's positional-argument quirk below
+        h, l, c = (x[col] for col in self.requires)
+        if len(h) < self.length:
+            return pd.Series(np.nan, index=x.index, name=self.output_name)
+        lo = l.rolling(self.length).min()
+        hi = c.rolling(self.length).max()
+        out = 100.0 * (h - lo) / (hi - lo)
+        out[~(hi > lo)] = np.nan
+        out.iloc[:self.length - 1] = np.nan
+        out.name = self.output_name
+        return out
 
     def _jax(self, x):
         d = self._prepare_input(x)
@@ -205,7 +239,33 @@ class EWMST(SISOTransform):
         self.half_life_sec = half_life_sec
 
     def _pd(self, x):
-        return self._jax(x)
+        # genuine sequential numpy tier (reference _pd falls back to
+        # numba): per-step alpha from wall-clock dt, adjust=True
+        # bias=False, NaN samples decay V/V2 but not the y-sums
+        s = x[self.requires[0]]
+        y = s.to_numpy(np.float64)
+        ts = self._get_timestamps(x)
+        n = len(y)
+        out = np.full(n, np.nan)
+        v = v2 = sy = syy = 0.0
+        for i in range(1, n):
+            a = 1.0 - np.exp(-((ts[i] - ts[i - 1]) / 1e9) / self.half_life_sec)
+            oma = 1.0 - a
+            v = oma * v + a
+            v2 = oma * oma * v2 + a * a
+            if not np.isnan(y[i]):
+                sy = oma * sy + a * y[i]
+                syy = oma * syy + a * y[i] * y[i]
+            else:
+                sy = oma * sy
+                syy = oma * syy
+            if v > 0.0:
+                mean = sy / v
+                var_raw = syy / v - mean * mean
+                denom = v - v2 / v
+                var = var_raw * v / denom if (denom > 0.0 and var_raw > 0.0) else 0.0
+                out[i] = max(np.sqrt(var), 1e-12)
+        return pd.Series(out, index=s.index, name=self.output_name)
 
     def _jax(self, x):
         result = K.ewmst(self._get_timestamps(x), self._prepare_input(x),
@@ -222,7 +282,15 @@ class ZScore(SISOTransform):
         self.ddof = ddof
 
     def _pd(self, x):
-        return self._jax(x)
+        # genuine pandas tier (reference _pd falls back to numba)
+        s = x[self.requires[0]]
+        r = s.rolling(self.window)
+        mean = r.mean()
+        std = r.std(ddof=self.ddof)
+        out = (s - mean) / std
+        out[std == 0] = np.nan
+        out.name = self.output_name
+        return out
 
     def _jax(self, x):
         return self._prepare_output(
@@ -237,7 +305,13 @@ class BurstRatio(SISOTransform):
         self.window = window
 
     def _pd(self, x):
-        return self._jax(x)
+        # genuine pandas tier (reference _pd falls back to numba)
+        s = x[self.requires[0]]
+        med = s.rolling(self.window).median()
+        out = s / med
+        out[~(med > 0)] = np.nan
+        out.name = self.output_name
+        return out
 
     def _jax(self, x):
         return self._prepare_output(
@@ -255,7 +329,25 @@ class VWAPDistance(MISOTransform):
         self.is_log = is_log
 
     def _pd(self, x):
-        return self._jax(x)
+        # genuine pandas tier (reference _pd falls back to numba),
+        # preserving the reference quirks: the first valid index always
+        # uses the simple-return formula, and empty-volume windows
+        # forward-fill the previous value
+        c, v = x[self.requires[0]], x[self.requires[1]]
+        p = self.periods
+        if len(c) < p:
+            return pd.Series(np.nan, index=x.index, name=self.output_name)
+        wsum = (c * v).rolling(p).sum()
+        vsum = v.rolling(p).sum()
+        vwap = wsum / vsum.where(vsum > 0, 1.0)
+        out = np.log(c / vwap) if self.is_log else c / vwap - 1.0
+        first = (c.iloc[p - 1] / vwap.iloc[p - 1] - 1.0
+                 if vsum.iloc[p - 1] > 0 else np.nan)
+        out.iloc[p - 1] = first
+        out = out.where(vsum > 0).ffill()
+        out.iloc[:p - 1] = np.nan
+        out.name = self.output_name
+        return out
 
     def _jax(self, x):
         d = self._prepare_input(x)
@@ -273,7 +365,25 @@ class TimeCues(SIMOTransform):
         super().__init__(input_col, produces)
 
     def _pd(self, x):
-        return self._jax(x)
+        # genuine pandas tier (reference _pd falls back to numba)
+        idx = x.index
+        sec_in_day = (idx.hour * 3600 + idx.minute * 60
+                      + idx.second).to_numpy(np.int64)
+        phase = 2.0 * np.pi * sec_in_day / 86400.0
+        # kernel's (days_since_epoch + 3) % 7 equals pandas dayofweek
+        # (Monday=0): epoch 1970-01-01 was a Thursday
+        day_week = idx.dayofweek.to_numpy(np.int64)
+        phase_w = 2.0 * np.pi * day_week / 7.0
+        hour = idx.hour.to_numpy(np.int64)
+        minute = idx.minute.to_numpy(np.int64)
+        asia = (hour >= 0) & (hour < 8)
+        eu = (hour >= 7) & (hour < 15)
+        us = (hour >= 13) & (hour < 21)
+        trans = ((hour == 0) | (hour == 7) | (hour == 13)) & (minute == 0)
+        top_hr = minute == 0
+        return self._prepare_output(
+            idx, (np.sin(phase), np.cos(phase), np.sin(phase_w),
+                  np.cos(phase_w), asia, eu, us, trans, top_hr))
 
     def _jax(self, x):
         return self._prepare_output(x.index, K.time_cues(self._get_timestamps(x)))
@@ -344,7 +454,11 @@ class ParkinsonRange(MISOTransform):
         super().__init__(input_cols, "parkrange")
 
     def _pd(self, x):
-        return self._jax(x)
+        # genuine pandas tier (reference _pd falls back to numba)
+        h, l = x[self.requires[0]], x[self.requires[1]]
+        out = np.log(h / l) ** 2 / (4.0 * np.log(2.0))
+        out.name = self.output_name
+        return out
 
     def _jax(self, x):
         d = self._prepare_input(x)
@@ -395,7 +509,17 @@ class FlowAcceleration(SISOTransform):
         self.recent_periods = recent_periods
 
     def _pd(self, x):
-        return self._jax(x)
+        # genuine pandas tier (reference _pd falls back to numba)
+        v = x[self.requires[0]]
+        if len(v) < self.window or self.recent_periods >= self.window:
+            return pd.Series(np.nan, index=x.index, name=self.output_name)
+        eps = 1e-12
+        recent = v.rolling(self.recent_periods).sum()
+        past = v.rolling(self.window).sum() - recent
+        out = np.log((recent + eps) / (past + eps))
+        out.iloc[:self.window - 1] = np.nan
+        out.name = self.output_name
+        return out
 
     def _jax(self, x):
         return self._prepare_output(
@@ -422,11 +546,54 @@ class CUSUMTest(SIMOTransform):
         self.max_age = max_age
 
     def _pd(self, x):
-        return self._jax(x)
+        # genuine sequential numpy tier (reference _pd falls back to
+        # numba): per-t sup over lags of (y_t - y_{t-k}) / (sigma sqrt(k)),
+        # strict-> updates while iterating n ascending (ties keep the
+        # largest lag), critical value sqrt(4.6 + ln(lag*))
+        y = np.log(x[self.requires[0]].to_numpy(np.float64))
+        n = len(y)
+        w = self.window_size
+        dy2 = np.concatenate([[0.0], np.diff(y) ** 2])
+        cum = np.cumsum(dy2)
+        up = np.full(n, -1e-6)
+        down = np.full(n, -1e-6)
+        cu = np.zeros(n)
+        cd = np.zeros(n)
+        for t in range(n):
+            t_loc = min(t, w)
+            if t_loc < 1:
+                continue
+            sigma = np.sqrt((cum[t] - cum[t - t_loc]) / max(t_loc - 1, 1))
+            if sigma <= 0.0:
+                continue
+            ks = np.arange(2, t_loc)  # admissible lags [2, t_loc-1]
+            if len(ks) == 0:
+                continue
+            dyn = y[t] - y[t - ks]
+            denom = sigma * np.sqrt(ks)
+            s_up = np.maximum(dyn, 0.0) / denom
+            s_down = -np.minimum(dyn, 0.0) / denom
+
+            def best(s):
+                b = s.max()
+                if b <= -1e-6:
+                    return -1e-6, 0.0
+                lag = ks[np.nonzero(s == b)[0]].max()
+                return b, np.sqrt(4.6 + np.log(lag))
+
+            up[t], cu[t] = best(s_up)
+            down[t], cd[t] = best(s_down)
+        mask = np.arange(n) < self.warmup_period
+        for arr in (up, down, cu, cd):
+            arr[mask] = np.nan
+        return self._post(x, up, down, cu, cd)
 
     def _jax(self, x):
         snt_up, snt_down, cv_up, cv_down = K.cusum_test_rolling(
             self._prepare_input(x), self.window_size, self.warmup_period)
+        return self._post(x, snt_up, snt_down, cv_up, cv_down)
+
+    def _post(self, x, snt_up, snt_down, cv_up, cv_down):
         break_up = np.asarray(snt_up) - np.asarray(cv_up)
         break_down = np.asarray(snt_down) - np.asarray(cv_down)
         flag_up = (break_up > 0).astype(np.bool_)
@@ -466,7 +633,38 @@ class ATR(MISOTransform):
         self.normalize = normalize
 
     def _pd(self, x):
-        return self._jax(x)
+        # genuine pandas tier (reference _pd falls back to numba)
+        h, l, c = (x[col] for col in self.requires)
+        w = self.window
+        if len(h) < w:
+            return pd.Series(np.nan, index=x.index, name=self.output_name)
+        pc = c.shift(1)
+        tr = pd.concat([h - l, (h - pc).abs(), (l - pc).abs()], axis=1).max(
+            axis=1, skipna=False)
+        tr.iloc[0] = h.iloc[0] - l.iloc[0]
+        if self.ema_based:
+            vals = tr.to_numpy(np.float64)
+            out = np.full(len(vals), np.nan)
+            head = vals[:w]
+            if np.any(~np.isnan(head)):
+                a = np.nanmean(head)
+                out[w - 1] = a
+                for i in range(w, len(vals)):
+                    a = ((w - 1) * a + vals[i]) / w
+                    out[i] = a
+            out = pd.Series(out, index=x.index)
+        else:
+            out = tr.rolling(w, min_periods=1).mean()
+            out.iloc[:w - 1] = np.nan
+            if len(out) > 2 and np.isnan(h.iloc[2]) and np.isnan(l.iloc[2]) \
+                    and np.isnan(c.iloc[2]):
+                out.iloc[2] = np.nan  # reference quirk
+        if self.normalize:
+            mid = (h + l) / 2.0
+            m = ~out.isna() & ~mid.isna() & (mid > 0)
+            out = out.where(~m, out / mid)
+        out.name = self.output_name
+        return out
 
     def _jax(self, x):
         d = self._prepare_input(x)
@@ -531,7 +729,33 @@ class VarianceRatio14(SISOTransform):
         self.ddof = ddof
 
     def _pd(self, x):
-        return self._jax(x)
+        # genuine pandas tier (reference _pd falls back to numba)
+        s = x[self.requires[0]]
+        n, w = len(s), self.window
+        if n < w + 4:
+            return pd.Series(np.nan, index=x.index, name=self.output_name)
+        p0, p1 = s.shift(1), s
+        if self.ret_type == "log":
+            bad = p0.isna() | p1.isna() | (p0 <= 0) | (p1 <= 0)
+            r1 = np.log(p1 / p0).where(~bad)
+        else:
+            bad = p0.isna() | p1.isna() | (p0 <= 0)
+            r1 = (p1 / p0 - 1.0).where(~bad)
+
+        def roll_var(r):
+            v = r.rolling(w, min_periods=1).var(ddof=self.ddof)
+            cnt = r.rolling(w, min_periods=1).count()
+            v = v.where((cnt >= 1) & (cnt > self.ddof))
+            v.iloc[:w - 1] = np.nan
+            return v.clip(lower=0.0)
+
+        var1 = roll_var(r1)
+        r4 = r1 + r1.shift(1) + r1.shift(2) + r1.shift(3)
+        r4.iloc[:4] = np.nan
+        var4 = roll_var(r4)
+        out = (var1 / (var4 / 4.0)).where(var4 > 0)
+        out.name = self.output_name
+        return out
 
     def _jax(self, x):
         result = K.variance_ratio_1_4(self._prepare_input(x), self.window,
@@ -629,7 +853,50 @@ class ADX(MISOTransform):
         self.length = length
 
     def _pd(self, x):
-        return self._jax(x)
+        # genuine sequential numpy tier (reference _pd falls back to
+        # numba): TR/±DM, Wilder running sums, DI/DX, final Wilder ADX
+        h = x[self.requires[0]].to_numpy(np.float64)
+        l = x[self.requires[1]].to_numpy(np.float64)
+        c = x[self.requires[2]].to_numpy(np.float64)
+        n, L = len(h), self.length
+        adx = np.zeros(n)
+        if n >= L + 1:
+            pc = c[:-1]
+            tr = np.maximum(h[1:] - l[1:],
+                            np.maximum(np.abs(h[1:] - pc), np.abs(l[1:] - pc)))
+            hd = h[1:] - h[:-1]
+            ld = l[:-1] - l[1:]
+            pdm = np.where((hd > ld) & (hd > 0), hd, 0.0)
+            mdm = np.where((ld > hd) & (ld > 0), ld, 0.0)
+            tr = np.concatenate([[0.0], tr])
+            pdm = np.concatenate([[0.0], pdm])
+            mdm = np.concatenate([[0.0], mdm])
+
+            def wilder_sum(xv):
+                out = np.zeros(n)
+                s = xv[1:L + 1].sum()
+                out[L] = s
+                for i in range(L + 1, n):
+                    s = s * (1.0 - 1.0 / L) + xv[i]
+                    out[i] = s
+                return out
+
+            s_tr, s_pdm, s_mdm = wilder_sum(tr), wilder_sum(pdm), wilder_sum(mdm)
+            idx = np.arange(n)
+            valid = (idx >= L) & (s_tr > 0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                pdi = np.where(valid, 100.0 * s_pdm / np.where(s_tr > 0, s_tr, 1), 0.0)
+                mdi = np.where(valid, 100.0 * s_mdm / np.where(s_tr > 0, s_tr, 1), 0.0)
+            dsum = pdi + mdi
+            dx = np.where((idx >= L) & (dsum > 0),
+                          100.0 * np.abs(pdi - mdi) / np.where(dsum > 0, dsum, 1), 0.0)
+            if n >= 2 * L:
+                a = dx[L:2 * L].mean()
+                adx[2 * L - 1] = a
+                for i in range(2 * L, n):
+                    a = ((L - 1) * a + dx[i]) / L
+                    adx[i] = a
+        return pd.Series(adx, index=x.index, name=self.output_name)
 
     def _jax(self, x):
         d = self._prepare_input(x)
@@ -1017,7 +1284,25 @@ class DirRunLen(SISOTransform):
         super().__init__(input_col, "dir_run_len")
 
     def _pd(self, x):
-        return self._jax(x)
+        # genuine pandas tier (the reference's is at transforms.py:1605);
+        # preserves the kernel quirks: index 0 is always 0, index 1 never
+        # starts a change vs itself, zero returns reset to 0
+        s = x[self.requires[0]]
+        sign = np.sign(s.to_numpy(np.float64))
+        n = len(sign)
+        if n == 0:
+            return pd.Series(np.zeros(0, np.int8), index=x.index,
+                             name=self.output_name)
+        prev = np.roll(sign, 1)
+        if n > 1:
+            prev[1] = sign[1]
+        idx = np.arange(n)
+        change = (sign != prev) | (idx <= 1)
+        start = np.maximum.accumulate(np.where(change, idx, 0))
+        run = np.where(sign != 0, idx - start + 1, 0)
+        run[0] = 0
+        return pd.Series(run.astype(np.int8), index=x.index,
+                         name=self.output_name)
 
     def _jax(self, x):
         arr = jnp.asarray(self._prepare_input(x), jnp.float64)

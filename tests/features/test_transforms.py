@@ -44,7 +44,54 @@ DUAL_BACKEND_CASES = [
     (lambda: T.BarDuration(1, "close"), "dur_1bar"),
     (lambda: T.BarRate(pd.Timedelta(minutes=30), "close"), "bars_per_hour"),
     (lambda: T.HurstExponent(32, "ret1"), "ret1_hurst32"),
+    # the 15 transforms whose reference _pd delegates to numba now have
+    # genuine pandas tiers here (exceeding the reference) — full sweep:
+    (lambda: T.ReturnT(pd.Timedelta(minutes=10), is_log=True,
+                       input_col="close"), "close_ret600.0s"),
+    (lambda: T.ROC(5, "close"), "close_roc5"),
+    (lambda: T.StochK(14), "stochk14"),
+    (lambda: T.EWMST(pd.Timedelta(minutes=30), "ret1"), "ret1_ewms1800.0s"),
+    (lambda: T.ZScore(20, "close"), "close_z20"),
+    (lambda: T.BurstRatio(20, "volume"), "volume_burst20"),
+    (lambda: T.VWAPDistance(20), "vwapd20"),
+    (lambda: T.ParkinsonRange(), "parkrange"),
+    (lambda: T.FlowAcceleration(20, 5, "volume"), "volume_flowacc_20_5"),
+    (lambda: T.ATR(14), "atr14"),
+    (lambda: T.ATR(10, ema_based=True, normalize=True), "atr10_ema_norm"),
+    (lambda: T.VarianceRatio14(32, "close"), "close_var_ratio_1_4_32"),
+    (lambda: T.ADX(14), "adx_14"),
 ]
+
+
+class TestDualBackendMultiOutput:
+    """pd vs jax for the multi-output transforms of the 15-delegation set."""
+
+    def test_time_cues(self, bars):
+        t = T.TimeCues("close")
+        out_pd = t(bars, backend="pd")
+        out_jax = t(bars, backend="jax")
+        assert len(out_pd) == len(out_jax) == 9
+        for a, b in zip(out_pd, out_jax):
+            np.testing.assert_allclose(np.asarray(a, np.float64),
+                                       np.asarray(b, np.float64),
+                                       rtol=1e-10, atol=1e-12, err_msg=a.name)
+
+    def test_cusum_test(self, bars):
+        t = T.CUSUMTest(window_size=40, warmup_period=20, input_col="close")
+        out_pd = t(bars, backend="pd")
+        out_jax = t(bars, backend="jax")
+        for a, b in zip(out_pd, out_jax):
+            av = np.asarray(a, np.float64)
+            bv = np.asarray(b, np.float64)
+            m = np.isnan(av)
+            assert (m == np.isnan(bv)).all(), a.name
+            np.testing.assert_allclose(av[~m], bv[~m], rtol=1e-8,
+                                       atol=1e-10, err_msg=a.name)
+
+    def test_dir_run_len_pd(self, bars):
+        t = T.DirRunLen("ret1")
+        np.testing.assert_array_equal(np.asarray(t(bars, backend="pd")),
+                                      np.asarray(t(bars, backend="jax")))
 
 
 class TestDualBackend:
