@@ -133,11 +133,14 @@ int64_t cusum_bar_boundaries(const double* rets, const double* lam,
 
 // Volume bar boundaries: cumulative volume resets to zero at each close
 // (reference /root/reference/finmlkit/bar/logic.py:87-115, including
-// the overshoot-discarding reset). Threshold check starts at trade 1.
+// the overshoot-discarding reset). The running total starts with trade
+// 0's volume (cum_volume = volumes[0]); the threshold check starts at
+// trade 1, matching the reference loop.
 int64_t volume_bar_boundaries(const float* volumes, int64_t n,
                               double threshold, int64_t* out_idx,
                               int64_t max_bars) {
-    double cum = 0.0;
+    if (n <= 0) return 0;
+    double cum = (double)volumes[0];
     int64_t k = 0;
     for (int64_t i = 1; i < n && k < max_bars; ++i) {
         cum += (double)volumes[i];
@@ -147,11 +150,13 @@ int64_t volume_bar_boundaries(const float* volumes, int64_t n,
 }
 
 // Dollar bar boundaries: carries the remainder (cum -= threshold),
-// reference /root/reference/finmlkit/bar/logic.py:118-149.
+// reference /root/reference/finmlkit/bar/logic.py:118-149. The running
+// total starts with trade 0's dollar value (cum = prices[0]*volumes[0]).
 int64_t dollar_bar_boundaries(const double* prices, const float* volumes,
                               int64_t n, double threshold, int64_t* out_idx,
                               int64_t max_bars) {
-    double cum = 0.0;
+    if (n <= 0) return 0;
+    double cum = prices[0] * (double)volumes[0];
     int64_t k = 0;
     for (int64_t i = 1; i < n && k < max_bars; ++i) {
         cum += prices[i] * (double)volumes[i];

@@ -25,6 +25,16 @@ imbalance extrema are computed from the exact pair prefixes but
 *compared and stored* as float32 — their public outputs are float32
 anyway, so only the final rounding differs (<=1 ulp) from the f64
 reference path.
+
+The plain int32 prefix sums (buy/sell tick counts, spread ticks) may
+exceed 2^31 over a long month and wrap — that is fine BY DESIGN: two's
+complement addition is exact mod 2^32, consumers only ever use per-bar
+*differences* of these prefixes (``end - start`` computed in int32
+before any widening, see bar/fused.py rsum_i32), and a difference is
+exact whenever the true per-bar sum is < 2^31 (a single bar with >2^31
+spread ticks or trades is physically implausible; the per-trade inputs
+are int32 to begin with). The in-bar rel_ct / base-fill subtractions
+are differences within one bar for the same reason.
 """
 from functools import partial
 

@@ -10,8 +10,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
-import binance2h5  # noqa: E402
+from finmlkit_tpu.cli import binance2h5  # noqa: E402
 
 
 @pytest.fixture
