@@ -185,7 +185,7 @@ def volume_bar_indexer_q(timestamps, amount_units, threshold, amount_scale):
     thr_units = float(threshold) / amount_scale
     total = float(c[-1])
     max_bars = min(max(int(total / thr_units) + 2, 2), c.shape[0])
-    out, k = _volume_boundaries(c, thr_units, max_bars)
+    out, k, _ = _volume_boundaries(c, thr_units, max_bars)
     count = int(k)
     ci = jnp.concatenate([jnp.zeros((1,), jnp.int64), out[:count]])
     return timestamps[ci], ci
@@ -196,29 +196,42 @@ def volume_bar_indexer_q(timestamps, amount_units, threshold, amount_scale):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("max_bars",))
-def _volume_boundaries(cumvol: jnp.ndarray, threshold: float, max_bars: int):
+def _volume_boundaries(cumvol: jnp.ndarray, threshold: float, max_bars: int,
+                       base_init=None, pos_init=None, n_valid=None):
+    """Reset-semantics boundary jumps over an inclusive cumsum.
+
+    ``base_init`` seeds the reset base (``-carried_volume`` lets a shard
+    continue a bar opened upstream, see parallel/sharded_indexers.py);
+    ``pos_init`` the predecessor position (-1 allows a boundary at local
+    index 0 on non-first shards); ``n_valid`` bounds the scannable range
+    (padding exclusion). Returns ``(out, k, final_base)`` where
+    ``final_base`` is the cumsum value at the last boundary (reset base).
+    """
     n = cumvol.shape[0]
+    nv = jnp.asarray(n if n_valid is None else n_valid, jnp.int64)
 
     def cond(state):
         pos, _, k, _ = state
-        return (pos < n) & (k < max_bars)
+        return (pos < nv) & (k < max_bars)
 
     def body(state):
         pos, base, k, out = state
         nxt = jnp.searchsorted(cumvol, base + threshold, side="left").astype(jnp.int64)
         nxt = jnp.maximum(nxt, pos + 1)
-        hit = nxt <= n - 1
+        hit = nxt <= nv - 1
         out = out.at[k].set(jnp.where(hit, nxt, out[k]))
         new_base = cumvol[jnp.minimum(nxt, n - 1)].astype(jnp.float64)
-        return (jnp.where(hit, nxt, n),
+        return (jnp.where(hit, nxt, nv),
                 jnp.where(hit, new_base, base),
                 k + jnp.where(hit, 1, 0),
                 out)
 
     out = jnp.zeros((max_bars,), jnp.int64)
-    init = (jnp.int64(0), jnp.float64(0.0), jnp.int64(0), out)
-    _, _, k, out = jax.lax.while_loop(cond, body, init)
-    return out, k
+    base0 = jnp.float64(0.0) if base_init is None else jnp.asarray(base_init, jnp.float64)
+    pos0 = jnp.int64(0) if pos_init is None else jnp.asarray(pos_init, jnp.int64)
+    init = (pos0, base0, jnp.int64(0), out)
+    _, base_f, k, out = jax.lax.while_loop(cond, body, init)
+    return out, k, base_f
 
 
 def volume_bar_indexer(timestamps: jnp.ndarray, volumes: jnp.ndarray, threshold: float):
@@ -232,7 +245,7 @@ def volume_bar_indexer(timestamps: jnp.ndarray, volumes: jnp.ndarray, threshold:
     c = jnp.cumsum(volumes.astype(jnp.float64))
     total = float(c[-1])
     max_bars = min(max(int(total / float(threshold)) + 2, 2), c.shape[0])
-    out, k = _volume_boundaries(c, float(threshold), max_bars)
+    out, k, _ = _volume_boundaries(c, float(threshold), max_bars)
     count = int(k)
     ci = jnp.concatenate([jnp.zeros((1,), jnp.int64), out[:count]])
     return timestamps[ci], ci
@@ -247,7 +260,8 @@ _CUSUM_CHUNK = 2048
 
 @partial(jax.jit, static_argnames=("max_bars", "chunk"))
 def _cusum_boundaries(rets: jnp.ndarray, lam: jnp.ndarray, can_close: jnp.ndarray,
-                      start: jnp.ndarray, max_bars: int, chunk: int):
+                      start: jnp.ndarray, max_bars: int, chunk: int,
+                      sp_init=None, sn_init=None):
     """Event-jump scan for the CUSUM bar indexer.
 
     ``rets[i]`` is the log return at trade i (0 where undefined), ``lam``
@@ -255,6 +269,11 @@ def _cusum_boundaries(rets: jnp.ndarray, lam: jnp.ndarray, can_close: jnp.ndarra
     mask. Processes the stream in vectorized chunks, using the reset-scan
     closed form (s+ = max(s0 + R, R - cummin R); s- = min(s0 + R,
     R - cummax R)) which is valid up to the first event inside the chunk.
+
+    ``sp_init``/``sn_init`` seed the CUSUM state (shard-boundary carry in
+    the sharded indexer, see parallel/sharded_indexers.py); the scan
+    begins at ``start + 1``. Returns ``(out, k, s_pos, s_neg)`` — the
+    final state is the carry handed to the next shard.
     """
     n = rets.shape[0]
     pad = jnp.zeros((chunk,), rets.dtype)
@@ -303,9 +322,11 @@ def _cusum_boundaries(rets: jnp.ndarray, lam: jnp.ndarray, can_close: jnp.ndarra
 
     out = jnp.zeros((max_bars,), jnp.int64)
     zero = jnp.zeros((), rets.dtype)
-    init = (start + 1, zero, zero, jnp.int64(0), out)
-    _, _, _, k, out = jax.lax.while_loop(cond, body, init)
-    return out, k
+    sp0 = zero if sp_init is None else jnp.asarray(sp_init, rets.dtype)
+    sn0 = zero if sn_init is None else jnp.asarray(sn_init, rets.dtype)
+    init = (start + 1, sp0, sn0, jnp.int64(0), out)
+    _, sp_f, sn_f, k, out = jax.lax.while_loop(cond, body, init)
+    return out, k, sp_f, sn_f
 
 
 def cusum_bar_indexer(timestamps: jnp.ndarray, prices: jnp.ndarray,
@@ -346,7 +367,8 @@ def cusum_bar_indexer(timestamps: jnp.ndarray, prices: jnp.ndarray,
 
     mb = int(max_bars) if max_bars is not None else max(min(n, 1 << 20), 2)
     while True:
-        out, k = _cusum_boundaries(rets, lam, can_close, first_valid, mb, _CUSUM_CHUNK)
+        out, k, _, _ = _cusum_boundaries(rets, lam, can_close, first_valid, mb,
+                                         _CUSUM_CHUNK)
         count = int(k)
         if count < mb or mb >= n:
             break
@@ -378,13 +400,20 @@ _IMB_CHUNK = 2048
 
 @partial(jax.jit, static_argnames=("max_bars", "chunk", "run_mode"))
 def _info_bar_boundaries(w, e_ticks0, e_rate0, alpha_t, alpha_r,
-                         max_bars: int, chunk: int, run_mode: bool):
+                         max_bars: int, chunk: int, run_mode: bool,
+                         state_init=None):
     """Event-jump scan shared by imbalance and run bars.
 
     ``w`` is the signed per-trade contribution (side, side*volume, or
     side*dollar). Imbalance mode closes on |cumsum(w)| >= theta; run
     mode tracks buy and sell magnitudes separately and closes on
     max(cum_buy, cum_sell) >= theta.
+
+    ``state_init`` optionally seeds ``(cum_buy, cum_sell, e_ticks,
+    e_rate, open_pos)`` — the shard-boundary carry for the sharded
+    indexer (``open_pos`` is relative to this array's index 0, i.e.
+    negative when the open precedes the shard). Returns ``(out, k,
+    final_state)``.
     """
     n = w.shape[0]
     w_p = jnp.concatenate([w, jnp.zeros((chunk,), w.dtype)])
@@ -430,11 +459,19 @@ def _info_bar_boundaries(w, e_ticks0, e_rate0, alpha_t, alpha_r,
 
     zero = jnp.zeros((), w.dtype)
     out = jnp.zeros((max_bars,), jnp.int64)
-    init = (jnp.int64(1), zero, zero,
-            jnp.asarray(e_ticks0, w.dtype), jnp.asarray(e_rate0, w.dtype),
-            jnp.int64(0), jnp.int64(0), out)
-    _, _, _, _, _, _, k, out = jax.lax.while_loop(cond, body, init)
-    return out, k
+    if state_init is None:
+        # threshold checks start at trade 1 (trade 0 only opens the bar)
+        init = (jnp.int64(1), zero, zero,
+                jnp.asarray(e_ticks0, w.dtype), jnp.asarray(e_rate0, w.dtype),
+                jnp.int64(0), jnp.int64(0), out)
+    else:
+        cb0, cs0, et0, er0, op0 = state_init
+        init = (jnp.int64(0), jnp.asarray(cb0, w.dtype),
+                jnp.asarray(cs0, w.dtype), jnp.asarray(et0, w.dtype),
+                jnp.asarray(er0, w.dtype), jnp.asarray(op0, jnp.int64),
+                jnp.int64(0), out)
+    _, cb_f, cs_f, et_f, er_f, op_f, k, out = jax.lax.while_loop(cond, body, init)
+    return out, k, (cb_f, cs_f, et_f, er_f, op_f)
 
 
 def _info_bar_indexer(timestamps, sides, weights, expected_ticks_init,
@@ -453,7 +490,7 @@ def _info_bar_indexer(timestamps, sides, weights, expected_ticks_init,
     user_cap = max_bars is not None
     mb = int(max_bars) if user_cap else max(min(n, 1 << 20), 2)
     while True:
-        out, k = _info_bar_boundaries(
+        out, k, _ = _info_bar_boundaries(
             w, float(expected_ticks_init), float(expected_rate_init),
             float(alpha_ticks), float(alpha_rate), mb, _IMB_CHUNK, run_mode)
         count = int(k)
