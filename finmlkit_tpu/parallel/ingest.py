@@ -6,44 +6,84 @@ TPU-native analog of the reference's process-level load parallelism
 Pool+writer-thread download pipeline at scripts/binance2h5.py:230-267),
 mapped onto the sharded compute path (SURVEY.md §2.8 item 3):
 
-- **month plan**: monthly store partitions are assigned round-robin to
-  processes (hosts), preserving time order;
-- **host-side parallel load**: each process loads only its months, with
-  its own HDF5 handles (process-safe), in a pool of workers;
-- **device placement**: the concatenated stream is padded and laid out
-  along the 1-D time mesh (:func:`shard_trades`), so
-  :func:`sharded_bar_products` and the order-statistics kernels consume
-  it directly.
-
-On a real multi-host pod (``jax.process_count() > 1``) the columns are
-exchanged host-side with ``multihost_utils.process_allgather`` before
-placement — simple and correct; a halo-free variant that ships only
-shard-boundary rows over DCN is the documented follow-up. On a single
-controller (this environment, incl. the 8-device virtual CPU mesh) no
-exchange is needed.
+- **contiguous month plan**: each host owns the contiguous row span its
+  mesh devices cover. Month record counts come from the store's
+  ``/meta`` groups, so the plan needs no data reads; a host loads only
+  the months overlapping its span — per-host memory is
+  ``O(total / n_hosts + straddling months)`` (the overlap rows of a month that
+  straddles a host boundary are the only duplicated I/O; nothing is
+  ever all-gathered).
+- **host-side parallel load**: each host loads its months with its own
+  HDF5 handles (process-safe) in a process pool, sequential fallback on
+  pool failure (reference behavior, data_model.py:730-732).
+- **device placement**: ``jax.make_array_from_callback`` builds the
+  globally-sharded trade arrays from per-host local rows — each host
+  materializes data for its addressable devices only, which is the
+  jax.distributed multi-host placement model. Indexers then run ON the
+  mesh via :mod:`finmlkit_tpu.parallel.sharded_indexers`.
 """
 import concurrent.futures
-from typing import List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..data.store import _load_single_group
 from ..utils.log import get_logger
-from .sharded import shard_trades
 
 logger = get_logger(__name__)
 
 _COLS = ("timestamp", "price", "amount", "side")
+_DTYPES = {"timestamp": np.int64, "price": np.float64,
+           "amount": np.float32, "side": np.int8}
 
 
 def month_plan(months: Sequence[str], n_processes: int) -> List[List[str]]:
-    """Round-robin month → process assignment, preserving sort order.
+    """Contiguous month → process assignment, preserving time order.
 
-    Mirrors the reference's one-month-per-worker decomposition; with
-    n_processes=1 this is a single sequential plan.
+    Without record counts the split is even by month count; use
+    :func:`row_plan` when per-month counts are known (the mesh path).
     """
     months = sorted(months)
-    return [list(months[p::n_processes]) for p in range(n_processes)]
+    n = len(months)
+    bounds = [round(p * n / n_processes) for p in range(n_processes + 1)]
+    return [months[bounds[p]:bounds[p + 1]] for p in range(n_processes)]
+
+
+def row_plan(month_counts: Dict[str, int], n_processes: int,
+             n_padded: Optional[int] = None
+             ) -> Tuple[List[dict], List[Tuple[int, int]]]:
+    """Row-exact ingestion plan: which months and which row range each
+    process loads, for a contiguous equal-row split of the padded
+    global stream.
+
+    :param month_counts: ordered ``{month_key: record_count}``.
+    :param n_padded: padded global length (multiple of the mesh size);
+        defaults to the raw total.
+    :returns: (per-process plans, per-process (row_start, row_end)).
+        Each plan is ``{"months": [...], "skip": rows_to_drop_from_the
+        first_month, "take": real_rows_in_my_span}``.
+    """
+    months = sorted(month_counts)
+    counts = np.array([month_counts[m] for m in months], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])  # month row offsets
+    total = int(offsets[-1])
+    n_pad = total if n_padded is None else int(n_padded)
+    spans = [(p * n_pad // n_processes, (p + 1) * n_pad // n_processes)
+             for p in range(n_processes)]
+    plans = []
+    for lo, hi in spans:
+        lo_c, hi_c = min(lo, total), min(hi, total)
+        first = int(np.searchsorted(offsets, lo_c, side="right")) - 1
+        last = int(np.searchsorted(offsets, max(hi_c - 1, lo_c), side="right")) - 1
+        first = max(first, 0)
+        last = max(last, first)
+        sel = months[first:last + 1] if hi_c > lo_c else []
+        plans.append({
+            "months": sel,
+            "skip": int(lo_c - offsets[first]) if sel else 0,
+            "take": int(hi_c - lo_c),
+        })
+    return plans, spans
 
 
 def load_months_parallel(filepath: str, months: Sequence[str],
@@ -79,50 +119,82 @@ def load_months_parallel(filepath: str, months: Sequence[str],
     return cols
 
 
+def _month_counts(filepath: str, months: Sequence[str]) -> Dict[str, int]:
+    import h5py
+
+    counts = {}
+    with h5py.File(filepath, "r") as f:
+        for m in months:
+            mk = f"meta/{m}"
+            if mk in f and "record_count" in f[mk].attrs:
+                counts[m] = int(f[mk].attrs["record_count"])
+            else:  # shape lookup only — no data read
+                counts[m] = int(f[f"trades/{m}/timestamp"].shape[0])
+    return counts
+
+
 def load_store_to_mesh(filepath: str, mesh, axis_name: str = "t", *,
                        months: Optional[Sequence[str]] = None,
                        max_workers: int = 4):
     """Load a monthly trade store and place it sharded on the time mesh.
+
+    Memory-scalable multi-host path: every process loads ONLY the months
+    overlapping its contiguous row span (computed from /meta record
+    counts) and materializes device shards for its addressable devices
+    via ``make_array_from_callback`` — no cross-host gather of trade
+    rows ever happens; per-host memory is O(total/n_hosts + straddling months).
 
     :param filepath: monthly-partitioned H5 store (see data/store.py).
     :param mesh: 1-D ``jax.sharding.Mesh`` over the trade/time axis.
     :param months: subset of month keys (default: all, discovered from
         the store — on multi-host, discovery must agree across hosts).
     :param max_workers: host-side loader processes per host.
-    :returns: (sharded trades dict for :func:`sharded_bar_products`,
-        n_trades before padding, host-side numpy columns).
+    :returns: (sharded trades dict — timestamp/price/amount/side device
+        arrays laid out on the mesh, n_trades before padding, the local
+        host columns covering this process's row span).
     """
     import h5py
     import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     if months is None:
         with h5py.File(filepath, "r") as f:
             months = sorted(f["trades"].keys())
+    months = sorted(months)
 
     n_proc = jax.process_count()
     pid = jax.process_index()
-    plan = month_plan(months, n_proc)
-    local_cols = load_months_parallel(filepath, plan[pid], max_workers)
+    counts = _month_counts(filepath, months)
+    total = int(sum(counts.values()))
 
-    if n_proc > 1:
-        # host-side exchange so every process holds the global stream in
-        # time order before placement (see module docstring)
-        from jax.experimental import multihost_utils
-        gathered = {name: multihost_utils.process_allgather(local_cols[name])
-                    for name in local_cols}
-        # per-process chunks arrive stacked in process order; months were
-        # dealt round-robin, so re-sort globally by timestamp
-        cols = {name: np.concatenate(list(v)) for name, v in gathered.items()}
-        order = np.argsort(cols["timestamp"], kind="stable")
-        cols = {name: v[order] for name, v in cols.items()}
-    else:
-        cols = local_cols
+    n_devices = mesh.shape[axis_name]
+    n_padded = ((total + n_devices - 1) // n_devices) * n_devices
+    plans, spans = row_plan(counts, n_proc, n_padded)
+    my = plans[pid]
+    lo, hi = spans[pid]
 
-    n = len(cols["timestamp"])
-    arrays = {"price": cols["price"].astype(np.float64),
-              "amount": cols["amount"].astype(np.float32)}
-    if "side" in cols:
-        arrays["side"] = cols["side"].astype(np.int8)
-    sharded = shard_trades(arrays, mesh, axis_name)
-    sharded["timestamp"] = cols["timestamp"]  # host-side (indexers run once)
-    return sharded, n, cols
+    local_cols = load_months_parallel(filepath, my["months"], max_workers)
+    sharded = {}
+    sharding = NamedSharding(mesh, P(axis_name))
+    for name in list(local_cols):
+        arr = local_cols[name][my["skip"]:]
+        real = np.ascontiguousarray(arr[: my["take"]])
+        local_cols[name] = real
+        pad = (hi - lo) - len(real)
+        if pad > 0:  # tail padding (last host only): edge/zero fill
+            fill = np.zeros(pad, real.dtype) if name == "amount" else \
+                np.repeat(real[-1:] if len(real) else
+                          np.zeros(1, _DTYPES.get(name, real.dtype)), pad)
+            padded = np.concatenate([real, fill])
+        else:
+            padded = real
+
+        def cb(index, _arr=padded):
+            (sl,) = index
+            start = 0 if sl.start is None else sl.start
+            stop = n_padded if sl.stop is None else sl.stop
+            return _arr[start - lo: stop - lo]
+
+        sharded[name] = jax.make_array_from_callback(
+            (n_padded,), sharding, cb)
+    return sharded, total, local_cols

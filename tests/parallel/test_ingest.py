@@ -33,11 +33,54 @@ def two_month_store(tmp_path):
 
 
 class TestMonthPlan:
-    def test_round_robin_preserves_order(self):
+    def test_contiguous_preserves_order(self):
         months = ["2024-03", "2024-01", "2024-02", "2024-04"]
         plan = month_plan(months, 2)
-        assert plan == [["2024-01", "2024-03"], ["2024-02", "2024-04"]]
+        # contiguous spans (not round-robin): each host owns a time range
+        assert plan == [["2024-01", "2024-02"], ["2024-03", "2024-04"]]
         assert month_plan(months, 1) == [sorted(months)]
+
+
+class TestRowPlan:
+    def test_spans_and_straddling_month(self):
+        from finmlkit_tpu.parallel.ingest import row_plan
+        counts = {"2024-01": 100, "2024-02": 50, "2024-03": 70}
+        plans, spans = row_plan(counts, 2)
+        assert spans == [(0, 110), (110, 220)]
+        # process 0: Jan + the first 10 rows of Feb
+        assert plans[0] == {"months": ["2024-01", "2024-02"],
+                            "skip": 0, "take": 110}
+        # process 1: the rest of Feb (skip its first 10 rows) + Mar —
+        # the straddling month is the only duplicated I/O
+        assert plans[1] == {"months": ["2024-02", "2024-03"],
+                            "skip": 10, "take": 110}
+
+    def test_memory_scalability(self):
+        """No process's plan covers more rows than span + one month."""
+        from finmlkit_tpu.parallel.ingest import row_plan
+        r = np.random.default_rng(5)
+        counts = {f"2024-{m:02d}": int(r.integers(10, 2000))
+                  for m in range(1, 13)}
+        for n_proc in (2, 3, 8):
+            plans, spans = row_plan(counts, n_proc)
+            for p, (lo, hi) in zip(plans, spans):
+                # a span can straddle at most one month at each edge
+                rows_loaded = sum(counts[m] for m in p["months"])
+                assert rows_loaded <= (hi - lo) + 2 * max(counts.values())
+                assert p["take"] == hi - lo
+            # spans tile the stream
+            assert spans[0][0] == 0
+            for (_, b), (c, _) in zip(spans, spans[1:]):
+                assert b == c
+
+    def test_padded_total(self):
+        from finmlkit_tpu.parallel.ingest import row_plan
+        counts = {"2024-01": 13}
+        plans, spans = row_plan(counts, 2, n_padded=16)
+        assert spans == [(0, 8), (8, 16)]
+        assert plans[0]["take"] == 8
+        # the last span holds only 5 real rows; the other 3 are padding
+        assert plans[1] == {"months": ["2024-01"], "skip": 8, "take": 5}
 
 
 class TestLoadStoreToMesh:
