@@ -59,6 +59,23 @@ def comp_bar_footprints(prices, amounts, ci, sides, price_tick_size,
     buy_ticks = scat(is_buy.astype(jnp.int64)).astype(jnp.int32)
     sell_ticks = scat(is_sell.astype(jnp.int64)).astype(jnp.int32)
 
+    return footprint_features_from_tensors(
+        low, n_levels, buy_vol, sell_vol, buy_ticks, sell_ticks,
+        imbalance_factor)
+
+
+@jax.jit
+def footprint_features_from_tensors(low, n_levels, buy_vol, sell_vol,
+                                    buy_ticks, sell_ticks, imbalance_factor):
+    """Per-bar footprint features from dense (n_bars, L) tensors.
+
+    Split out of :func:`comp_bar_footprints` so the mesh path
+    (parallel/sharded_footprint.py) can psum-combine per-shard partial
+    tensors and reuse the identical feature derivation
+    (reference: comp_footprint_features, bar/base.py:755-850).
+    """
+    n_bars, L = buy_vol.shape
+
     # --- level-axis masks ---
     lgrid = jnp.arange(L, dtype=jnp.int32)[None, :]           # (1, L)
     lmask = lgrid < n_levels[:, None]                          # (n_bars, L)
