@@ -254,6 +254,50 @@ def _median_device(amounts_f32, ci, n):
     return np.asarray(med_a), np.asarray(med_b)
 
 
+def trade_size_features_native(amounts_host, ci_host, theta, theta_mult):
+    """Per-bar trade-size features from one native host pass.
+
+    Reference semantics (comp_bar_trade_size_features,
+    /root/reference/finmlkit/bar/base.py:549-612): log1p(mean/thr),
+    log1p(p95/thr) with numpy-percentile interpolation, block-volume
+    share (amounts strictly above thr), size Gini ``1 - sum((s/V)^2)``.
+    Returns None when the native library is unavailable (callers fall
+    back to the staged device path in aggregate_q).
+    """
+    theta = np.asarray(theta, np.float64)
+    thr = theta * float(theta_mult)
+    stats = native.seg_bar_stats(amounts_host, ci_host,
+                                 thr=np.where(thr > 0, thr, np.inf), q=0.95)
+    if stats is None:
+        return None
+    counts = np.diff(np.asarray(ci_host))
+    pos = 0.95 * (np.maximum(counts, 1) - 1).astype(np.float64)
+    frac = pos - stats["q_lo"]
+    p95 = stats["q_a"].astype(np.float64) * (1.0 - frac) \
+        + stats["q_b"].astype(np.float64) * frac
+
+    total = stats["sum"]
+    empty = counts == 0
+    mean = total / np.maximum(counts, 1)
+    base_nan = empty | (theta == 0.0)
+    safe_thr = np.where(thr > 0, thr, 1.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean_size_rel = np.where(base_nan, np.nan, np.log1p(mean / safe_thr))
+        size_95_rel = np.where(base_nan, np.nan, np.log1p(p95 / safe_thr))
+        vol_nan = base_nan | (total == 0.0)
+        safe_total = np.where(total > 0, total, 1.0)
+        pct_block = np.where(vol_nan, np.nan, stats["block_sum"] / safe_total)
+        gini = np.where(vol_nan, np.nan,
+                        1.0 - stats["sumsq"] / (safe_total ** 2))
+        gini = np.where(vol_nan, np.nan, np.where(counts == 1, 0.0, gini))
+    return {
+        "mean_size_rel": mean_size_rel.astype(np.float32),
+        "size_95_rel": size_95_rel.astype(np.float32),
+        "pct_block": pct_block.astype(np.float32),
+        "size_gini": gini.astype(np.float32),
+    }
+
+
 def bar_products_fused(price_ticks, amount_units, ci, sides, *,
                        tick_size, amount_scale,
                        amounts_host=None, ci_host=None,

@@ -6,7 +6,18 @@ kernels in ``indexers`` / ``aggregate`` / ``footprint``. Shapes are
 bucketed (padded to power-of-two sizes) so the XLA compile cache stays
 small across months of differing trade counts; padded trailing bars are
 empty by construction and sliced off before building DataFrames.
+
+Fast-path dispatch: on a TPU backend with quantizable trades, OHLCV and
+directional products come from the fused single-pass Pallas pipeline
+(bar/fused.py — one scan computes both product families; medians run
+in native host code overlapped with the device work), and trade-size
+features from the fused native host kernel. The staged aggregate /
+aggregate_q paths remain the CPU and non-quantizable fallbacks. The
+``FMKT_FUSED`` env var overrides dispatch: "auto" (default),
+"force"/"interpret" (always use it — interpret runs the Pallas kernel
+in interpreter mode for CPU tests), or "off".
 """
+import os
 from abc import ABC, abstractmethod
 from typing import Optional, Tuple
 
@@ -14,9 +25,10 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
+from ..ops.pallas_scan import _runs_on_tpu
 from ..ops.scan import next_bucket
 from ..utils.log import get_logger
-from . import aggregate, aggregate_q, indexers
+from . import aggregate, aggregate_q, fused as fused_mod, indexers
 from .data_model import FootprintData, TradesData, comp_price_tick_size
 from .footprint import comp_bar_footprints
 
@@ -86,6 +98,36 @@ class BarBuilderBase(ABC):
         self._n_bars: Optional[int] = None
         self._highs = None
         self._lows = None
+        self._fused_cache = None
+
+    # ------------------------------------------------------------------
+    def _fused_mode(self) -> Optional[str]:
+        """Dispatch decision for the fused single-pass pipeline."""
+        mode = os.environ.get("FMKT_FUSED", "auto")
+        if mode == "off" or self._ticks is None:
+            return None
+        if mode == "auto":
+            return "native" if _runs_on_tpu(self._ticks) else None
+        if mode in ("force", "native"):
+            return "native"
+        if mode == "interpret":
+            return "interpret"
+        return None
+
+    def _fused_products(self, mode: str):
+        """OHLCV + directional products from ONE fused pass (cached)."""
+        if self._fused_cache is None:
+            side = self._side if self._side is not None \
+                else jnp.zeros(self._ticks.shape, jnp.int8)
+            amounts_host = np.ascontiguousarray(
+                self.trades_df["amount"].values, dtype=np.float32)
+            ci_host = np.asarray(self._ci_padded)
+            self._fused_cache = fused_mod.bar_products_fused(
+                self._ticks, self._units, self._ci_padded, side,
+                tick_size=self._tick_size, amount_scale=self._amount_scale,
+                amounts_host=amounts_host, ci_host=ci_host,
+                interpret=(mode == "interpret"))
+        return self._fused_cache
 
     # ------------------------------------------------------------------
     @abstractmethod
@@ -123,7 +165,10 @@ class BarBuilderBase(ABC):
     def build_ohlcv(self) -> pd.DataFrame:
         """OHLCV + VWAP + trades + median trade size (base.py:132-169)."""
         self._set_bar_close()
-        if self._ticks is not None:
+        mode = self._fused_mode()
+        if mode is not None:
+            out, _ = self._fused_products(mode)
+        elif self._ticks is not None:
             out = aggregate_q.comp_bar_ohlcv_q(
                 self._ticks, self._units, self._amt, self._ci_padded,
                 self._tick_size, self._amount_scale)
@@ -150,7 +195,10 @@ class BarBuilderBase(ABC):
         self._set_bar_close()
         if self._side is None:
             raise ValueError("Trades data has no 'side' column.")
-        if self._ticks is not None:
+        mode = self._fused_mode()
+        if mode is not None:
+            _, out = self._fused_products(mode)
+        elif self._ticks is not None:
             out = aggregate_q.comp_bar_directional_features_q(
                 self._ticks, self._units, self._ci_padded, self._side,
                 self._tick_size, self._amount_scale)
@@ -172,15 +220,23 @@ class BarBuilderBase(ABC):
         theta = np.asarray(theta, dtype=np.float64)
         if len(theta) != nb:
             raise ValueError("Theta should match the number of bars.")
-        theta_p = jnp.asarray(np.concatenate(
-            [theta, np.zeros(self._ci_padded.shape[0] - 1 - nb)]))
-        if self._ticks is not None:
-            out = aggregate_q.comp_bar_trade_size_features_q(
-                self._units, self._amt, theta_p, self._ci_padded,
-                theta_mult, self._amount_scale)
-        else:
-            out = aggregate.comp_bar_trade_size_features(
-                self._amt, theta_p, self._ci_padded, theta_mult)
+        theta_pad = np.concatenate(
+            [theta, np.zeros(self._ci_padded.shape[0] - 1 - nb)])
+        # native host fast path: one fused pass (sums + selections per
+        # bar); reference semantics, no device round-trip
+        out = fused_mod.trade_size_features_native(
+            np.ascontiguousarray(self.trades_df["amount"].values,
+                                 dtype=np.float32),
+            np.asarray(self._ci_padded), theta_pad, theta_mult)
+        if out is None:
+            theta_p = jnp.asarray(theta_pad)
+            if self._ticks is not None:
+                out = aggregate_q.comp_bar_trade_size_features_q(
+                    self._units, self._amt, theta_p, self._ci_padded,
+                    theta_mult, self._amount_scale)
+            else:
+                out = aggregate.comp_bar_trade_size_features(
+                    self._amt, theta_p, self._ci_padded, theta_mult)
         df = pd.DataFrame({k: np.asarray(v[:nb]) for k, v in out.items()},
                           index=self._dt_index())
         df.index.name = "timestamp"

@@ -76,6 +76,10 @@ def lib():
                                         ctypes.c_double, f32p, f32p, i64p,
                                         ctypes.c_int]
         L.seg_quantile_pair.restype = None
+        L.seg_bar_stats.argtypes = [f32p, i64p, ctypes.c_int64, f64p,
+                                    ctypes.c_double, f32p, f32p, f32p, f32p,
+                                    i64p, f64p, f64p, f64p, ctypes.c_int]
+        L.seg_bar_stats.restype = None
         L.cusum_filter_events.argtypes = [f64p, f64p, ctypes.c_int64, i64p]
         L.cusum_filter_events.restype = ctypes.c_int64
         L.cusum_bar_boundaries.argtypes = [f64p, f64p, i64p, ctypes.c_int64,
@@ -135,6 +139,44 @@ def seg_quantile_pair(vals: np.ndarray, ci: np.ndarray, q: float):
                         _ptr(q_b, ctypes.c_float), _ptr(q_lo, ctypes.c_int64),
                         _N_THREADS)
     return q_a, q_b, q_lo
+
+
+def seg_bar_stats(vals: np.ndarray, ci: np.ndarray, thr=None, q: float = 0.95):
+    """Fused per-bar stats over ranges (ci[i], ci[i+1]]: median bracket,
+    q-percentile bracket, f64 sum / sum-of-squares, and (when ``thr`` is
+    given) the block volume ``sum(v for v in bar if v > thr[i])``.
+
+    Returns a dict of per-bar arrays, or None when the native library is
+    unavailable.
+    """
+    L = lib()
+    if L is None:
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    ci = np.ascontiguousarray(ci, dtype=np.int64)
+    n_bars = len(ci) - 1
+    med_a = np.empty(n_bars, np.float32)
+    med_b = np.empty(n_bars, np.float32)
+    q_a = np.empty(n_bars, np.float32)
+    q_b = np.empty(n_bars, np.float32)
+    q_lo = np.empty(n_bars, np.int64)
+    s = np.empty(n_bars, np.float64)
+    ss = np.empty(n_bars, np.float64)
+    blk = np.empty(n_bars, np.float64)
+    thr_p = None
+    if thr is not None:
+        thr_arr = np.ascontiguousarray(thr, dtype=np.float64)
+        thr_p = _ptr(thr_arr, ctypes.c_double)
+    L.seg_bar_stats(_ptr(vals, ctypes.c_float), _ptr(ci, ctypes.c_int64),
+                    n_bars, thr_p, float(q),
+                    _ptr(med_a, ctypes.c_float), _ptr(med_b, ctypes.c_float),
+                    _ptr(q_a, ctypes.c_float), _ptr(q_b, ctypes.c_float),
+                    _ptr(q_lo, ctypes.c_int64), _ptr(s, ctypes.c_double),
+                    _ptr(ss, ctypes.c_double), _ptr(blk, ctypes.c_double),
+                    _N_THREADS)
+    return {"med_a": med_a, "med_b": med_b, "q_a": q_a, "q_b": q_b,
+            "q_lo": q_lo, "sum": s, "sumsq": ss,
+            "block_sum": blk if thr is not None else None, "q": q}
 
 
 def cusum_filter_events(log_ret: np.ndarray, thr: np.ndarray):

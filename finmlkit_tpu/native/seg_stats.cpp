@@ -86,6 +86,83 @@ void seg_quantile_pair(const float* vals, const int64_t* ci, int64_t n_bars,
     for (auto& th : ts) th.join();
 }
 
+// Fused per-bar trade-size statistics: one pass + one/two selections per
+// bar yields everything comp_bar_ohlcv's median and
+// comp_bar_trade_size_features need (reference
+// /root/reference/finmlkit/bar/base.py:306-407, 549-612):
+//   med_a/med_b  - the two middle order statistics (numpy median bracket)
+//   q_a/q_b/q_lo - the percentile bracket at q (numpy linear interp:
+//                  lo = floor(q*(c-1)), q_a = x_(lo), q_b = x_(lo+1))
+//   sum/sumsq    - f64 accumulated sum and sum of squares of amounts
+//   block_sum    - sum of amounts strictly greater than thr[i] (block
+//                  prints); thr may be null to skip
+// Bars are contiguous ranges (ci[i], ci[i+1]]; empty bars write zeros.
+void seg_bar_stats(const float* vals, const int64_t* ci, int64_t n_bars,
+                   const double* thr, double q,
+                   float* med_a, float* med_b,
+                   float* q_a, float* q_b, int64_t* q_lo,
+                   double* sum_out, double* sumsq_out, double* block_out,
+                   int n_threads) {
+    auto worker = [&](int64_t b0, int64_t b1) {
+        std::vector<float> buf;
+        for (int64_t i = b0; i < b1; ++i) {
+            int64_t start = ci[i] + 1, end = ci[i + 1];
+            int64_t c = end - start + 1;
+            if (c <= 0) {
+                med_a[i] = med_b[i] = q_a[i] = q_b[i] = 0.f;
+                q_lo[i] = 0; sum_out[i] = sumsq_out[i] = 0.0;
+                if (block_out) block_out[i] = 0.0;
+                continue;
+            }
+            double s = 0.0, ss = 0.0, blk = 0.0;
+            double t = thr ? thr[i] : 0.0;
+            for (int64_t j = start; j <= end; ++j) {
+                double v = (double)vals[j];
+                s += v; ss += v * v;
+                if (thr && v > t) blk += v;
+            }
+            sum_out[i] = s; sumsq_out[i] = ss;
+            if (block_out) block_out[i] = blk;
+            if (c == 1) {
+                med_a[i] = med_b[i] = q_a[i] = q_b[i] = vals[start];
+                q_lo[i] = 0;
+                continue;
+            }
+            buf.assign(vals + start, vals + end + 1);
+            // median bracket via one nth_element at the upper middle
+            int64_t k_hi = c / 2;
+            std::nth_element(buf.begin(), buf.begin() + k_hi, buf.end());
+            float hi = buf[k_hi];
+            if (c % 2 == 1) { med_a[i] = hi; med_b[i] = hi; }
+            else {
+                float lo_m = *std::max_element(buf.begin(), buf.begin() + k_hi);
+                med_a[i] = lo_m; med_b[i] = hi;
+            }
+            // percentile bracket; reuse the partition when lo >= k_hi
+            int64_t lo = (int64_t)(q * (double)(c - 1));
+            if (lo > c - 1) lo = c - 1;
+            if (lo >= k_hi)
+                std::nth_element(buf.begin() + k_hi, buf.begin() + lo, buf.end());
+            else
+                std::nth_element(buf.begin(), buf.begin() + lo, buf.end());
+            float a = buf[lo];
+            float b = a;
+            if (lo + 1 <= c - 1)
+                b = *std::min_element(buf.begin() + lo + 1, buf.end());
+            q_a[i] = a; q_b[i] = b; q_lo[i] = lo;
+        }
+    };
+    if (n_threads <= 1 || n_bars < 256) { worker(0, n_bars); return; }
+    std::vector<std::thread> ts;
+    int64_t step = (n_bars + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int64_t b0 = t * step, b1 = std::min(n_bars, b0 + step);
+        if (b0 >= b1) break;
+        ts.emplace_back(worker, b0, b1);
+    }
+    for (auto& th : ts) th.join();
+}
+
 // Symmetric CUSUM event filter on log returns (reference semantics:
 // /root/reference/finmlkit/sampling/filters.py:6-70 — s_neg checked
 // first, strict comparisons, per-sample threshold vector). Returns the
