@@ -252,6 +252,82 @@ def volume_bar_indexer(timestamps: jnp.ndarray, volumes: jnp.ndarray, threshold:
 
 
 # ---------------------------------------------------------------------------
+# Native host boundary scans (volume / dollar / CUSUM)
+#
+# The sequential boundary scans are latency-bound host workloads exactly
+# like the reference's Numba loops (logic.py:87-221); the C++ kernels in
+# finmlkit_tpu/native run them at machine speed with reference-identical
+# f64 accumulation order. Each helper returns None without the native
+# toolchain — callers fall back to the device scans above.
+# ---------------------------------------------------------------------------
+
+def volume_bar_indexer_host(timestamps, volumes, threshold: float):
+    """Host-native volume-bar boundaries (reference logic.py:87-115)."""
+    from .. import native
+    volumes = np.asarray(volumes, np.float32)
+    # reset discards the overshoot, so every bar consumes >= threshold
+    mb = int(float(volumes.astype(np.float64).sum()) / float(threshold)) + 2
+    out = native.volume_bar_boundaries(volumes, float(threshold), mb)
+    if out is None:
+        return None
+    ci = np.concatenate([np.zeros(1, np.int64), out])
+    return np.asarray(timestamps)[ci], ci
+
+
+def dollar_bar_indexer_host(timestamps, prices, volumes, threshold: float):
+    """Host-native dollar-bar boundaries (reference logic.py:118-149)."""
+    from .. import native
+    prices = np.asarray(prices, np.float64)
+    volumes = np.asarray(volumes, np.float32)
+    total = float((prices * volumes).sum())
+    mb = int(total / float(threshold)) + 2
+    out = native.dollar_bar_boundaries(prices, volumes, float(threshold), mb)
+    if out is None:
+        return None
+    ci = np.concatenate([np.zeros(1, np.int64), out])
+    return np.asarray(timestamps)[ci], ci
+
+
+def cusum_bar_indexer_host(timestamps, prices, sigma, sigma_floor: float,
+                           sigma_mult: float):
+    """Host-native CUSUM bar boundaries (reference logic.py:152-221).
+
+    Exact f64 reference semantics (adaptive threshold, NaN-sigma forward
+    fill, same-print-block rule, one-sided resets). Returns
+    (close_ts, ci, filled_sigma) or None without the toolchain.
+    """
+    from .. import native
+    if native.lib() is None:
+        return None
+    timestamps = np.asarray(timestamps, np.int64)
+    prices = np.asarray(prices, np.float64)
+    sigma = np.asarray(sigma, np.float64)
+    n = len(prices)
+
+    isnan = np.isnan(sigma)
+    first_valid = int(np.argmin(isnan))  # 0 when no NaNs (or all NaN)
+    idx = np.arange(n)
+    last_valid = np.maximum.accumulate(np.where(isnan, -1, idx))
+    sig_filled = sigma[np.clip(last_valid, 0, n - 1)]
+    lam = np.maximum(sigma_mult * sig_filled, sigma_floor)
+
+    log_p = np.log(prices)
+    rets = np.concatenate([[0.0], np.diff(log_p)])
+
+    mb = max(min(n, 1 << 20), 2)
+    while True:
+        out = native.cusum_bar_boundaries(rets, lam, timestamps,
+                                          first_valid, mb)
+        if out is None:
+            return None
+        if len(out) < mb or mb >= n:
+            break
+        mb = min(mb * 4, n)  # buffer saturated: grow and re-run
+    ci = np.concatenate([np.asarray([first_valid], np.int64), out])
+    return timestamps[ci], ci, sig_filled
+
+
+# ---------------------------------------------------------------------------
 # CUSUM bars (chunked event-jump scan)
 # ---------------------------------------------------------------------------
 

@@ -333,6 +333,11 @@ class VolumeBarKit(BarBuilderBase):
         self.volume_ths = volume_ths
 
     def _comp_bar_close(self):
+        host = indexers.volume_bar_indexer_host(
+            self.trades_df["timestamp"].values,
+            self.trades_df["amount"].values, self.volume_ths)
+        if host is not None:
+            return host
         ts = self._ts[: self._n_trades]
         if self._units is not None:
             return indexers.volume_bar_indexer_q(
@@ -350,6 +355,12 @@ class DollarBarKit(BarBuilderBase):
         self.dollar_thrs = dollar_thrs
 
     def _comp_bar_close(self):
+        host = indexers.dollar_bar_indexer_host(
+            self.trades_df["timestamp"].values,
+            self.trades_df["price"].values,
+            self.trades_df["amount"].values, self.dollar_thrs)
+        if host is not None:
+            return host
         ts = self._ts[: self._n_trades]
         if self._units is not None:
             return indexers.dollar_bar_indexer_q(
@@ -433,6 +444,14 @@ class CUSUMBarKit(BarBuilderBase):
 
     def _comp_bar_close(self):
         import jax
+        host = indexers.cusum_bar_indexer_host(
+            self.trades_df["timestamp"].values,
+            self.trades_df["price"].values, self._sigma,
+            self.sigma_floor, self.lambda_mult)
+        if host is not None:
+            close_ts, ci, filled = host
+            self._sigma = filled
+            return close_ts, ci
         ts = self._ts[: self._n_trades]
         px = self._px[: self._n_trades]
         dtype = "float32" if jax.default_backend() == "tpu" else None

@@ -72,10 +72,6 @@ def lib():
         L.seg_median_pair.argtypes = [f32p, i64p, ctypes.c_int64, f32p, f32p,
                                       ctypes.c_int]
         L.seg_median_pair.restype = None
-        L.seg_quantile_pair.argtypes = [f32p, i64p, ctypes.c_int64,
-                                        ctypes.c_double, f32p, f32p, i64p,
-                                        ctypes.c_int]
-        L.seg_quantile_pair.restype = None
         L.seg_bar_stats.argtypes = [f32p, i64p, ctypes.c_int64, f64p,
                                     ctypes.c_double, f32p, f32p, f32p, f32p,
                                     i64p, f64p, f64p, f64p, ctypes.c_int]
@@ -121,24 +117,6 @@ def seg_median_pair(vals: np.ndarray, ci: np.ndarray):
                       n_bars, _ptr(med_a, ctypes.c_float),
                       _ptr(med_b, ctypes.c_float), _N_THREADS)
     return med_a, med_b
-
-
-def seg_quantile_pair(vals: np.ndarray, ci: np.ndarray, q: float):
-    """Per-bar quantile bracket (a, b, lo) over ranges (ci[i], ci[i+1]]."""
-    L = lib()
-    if L is None:
-        return None
-    vals = np.ascontiguousarray(vals, dtype=np.float32)
-    ci = np.ascontiguousarray(ci, dtype=np.int64)
-    n_bars = len(ci) - 1
-    q_a = np.empty(n_bars, np.float32)
-    q_b = np.empty(n_bars, np.float32)
-    q_lo = np.empty(n_bars, np.int64)
-    L.seg_quantile_pair(_ptr(vals, ctypes.c_float), _ptr(ci, ctypes.c_int64),
-                        n_bars, float(q), _ptr(q_a, ctypes.c_float),
-                        _ptr(q_b, ctypes.c_float), _ptr(q_lo, ctypes.c_int64),
-                        _N_THREADS)
-    return q_a, q_b, q_lo
 
 
 def seg_bar_stats(vals: np.ndarray, ci: np.ndarray, thr=None, q: float = 0.95):

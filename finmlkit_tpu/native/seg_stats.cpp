@@ -53,39 +53,6 @@ void seg_median_pair(const float* vals, const int64_t* ci, int64_t n_bars,
     for (auto& th : ts) th.join();
 }
 
-// Per-bar quantile bracket at q in [0,1]: values at floor(q*(c-1)) and
-// the next order statistic (linear interpolation stays with the caller).
-void seg_quantile_pair(const float* vals, const int64_t* ci, int64_t n_bars,
-                       double q, float* q_a, float* q_b, int64_t* q_lo,
-                       int n_threads) {
-    auto worker = [&](int64_t b0, int64_t b1) {
-        std::vector<float> buf;
-        for (int64_t i = b0; i < b1; ++i) {
-            int64_t start = ci[i] + 1, end = ci[i + 1];
-            int64_t c = end - start + 1;
-            if (c <= 0) { q_a[i] = 0.f; q_b[i] = 0.f; q_lo[i] = 0; continue; }
-            int64_t lo = (int64_t)(q * (double)(c - 1));
-            if (lo > c - 1) lo = c - 1;
-            buf.assign(vals + start, vals + end + 1);
-            std::nth_element(buf.begin(), buf.begin() + lo, buf.end());
-            float a = buf[lo];
-            float b = a;
-            if (lo + 1 <= c - 1)
-                b = *std::min_element(buf.begin() + lo + 1, buf.end());
-            q_a[i] = a; q_b[i] = b; q_lo[i] = lo;
-        }
-    };
-    if (n_threads <= 1 || n_bars < 256) { worker(0, n_bars); return; }
-    std::vector<std::thread> ts;
-    int64_t step = (n_bars + n_threads - 1) / n_threads;
-    for (int t = 0; t < n_threads; ++t) {
-        int64_t b0 = t * step, b1 = std::min(n_bars, b0 + step);
-        if (b0 >= b1) break;
-        ts.emplace_back(worker, b0, b1);
-    }
-    for (auto& th : ts) th.join();
-}
-
 // Fused per-bar trade-size statistics: one pass + one/two selections per
 // bar yields everything comp_bar_ohlcv's median and
 // comp_bar_trade_size_features need (reference
