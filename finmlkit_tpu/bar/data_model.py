@@ -55,10 +55,16 @@ def merge_split_trades(timestamps, prices, amounts, is_buyer_maker=None):
     """Merge split executions (same timestamp, price and side) by summing
     amounts. Inputs must be ordered by (timestamp, id).
 
-    Parity: /root/reference/finmlkit/bar/utils.py:263-329. The reference
-    compares each trade's price against the *group anchor* with a 1e-8
-    tolerance; split executions on exchanges carry identical prices, so an
-    adjacent-pair comparison yields the same grouping in practice.
+    Parity: /root/reference/finmlkit/bar/utils.py:263-329 — EXACT anchor
+    semantics: each trade's price is compared against the *group
+    anchor's* price with a 1e-8 tolerance (not its neighbor's), so a
+    price drifting by sub-tolerance steps still opens a new group once
+    it strays >= 1e-8 from the anchor. The vectorized adjacent-pair pass
+    is a superset grouping (anchor groups are always sub-segments of
+    adjacent groups); groups whose internal deviation from their anchor
+    reaches the tolerance — possible only for sub-1e-8 price noise,
+    essentially never on tick-gridded exchange data — are re-segmented
+    with the reference's greedy walk.
     Side convention from ``is_buyer_maker``: maker-buyer => market sell
     (-1), else market buy (+1).
     """
@@ -66,14 +72,40 @@ def merge_split_trades(timestamps, prices, amounts, is_buyer_maker=None):
     if n == 0:
         return timestamps, prices, amounts, np.empty(0, dtype=np.int8)
     with_side = is_buyer_maker is not None
+    px64 = prices.astype(np.float64, copy=False)
+
+    same_run = np.zeros(n, dtype=bool)  # same (ts, side) as predecessor
+    same_run[1:] = timestamps[1:] == timestamps[:-1]
+    if with_side:
+        same_run[1:] &= is_buyer_maker[1:] == is_buyer_maker[:-1]
+    dp = np.zeros(n)
+    dp[1:] = np.abs(px64[1:] - px64[:-1])
 
     new_group = np.empty(n, dtype=bool)
     new_group[0] = True
-    new_group[1:] = (timestamps[1:] != timestamps[:-1]) | (
-        np.abs(prices[1:].astype(np.float64) - prices[:-1].astype(np.float64)) >= 1e-8
-    )
-    if with_side:
-        new_group[1:] |= is_buyer_maker[1:] != is_buyer_maker[:-1]
+    new_group[1:] = ~same_run[1:] | (dp[1:] >= 1e-8)
+
+    # The adjacent-pair pass equals the reference's anchor walk unless a
+    # same-(ts, side) pair differs by a NONZERO sub-2e-8 step (drifting
+    # anchors can then split a merged run, or a zigzag can re-enter the
+    # anchor's tolerance across an adjacent split). Exchange prices live
+    # on a tick grid, so this triggers only on sub-tolerance noise.
+    tiny = same_run & (dp > 0.0) & (dp < 2e-8)
+    if tiny.any():
+        # exact greedy re-walk of every affected same-(ts, side) run
+        run_start = np.flatnonzero(~same_run)
+        run_end = np.append(run_start[1:], n)
+        affected = np.unique(np.searchsorted(run_start,
+                                             np.flatnonzero(tiny),
+                                             side="right") - 1)
+        for r in affected:
+            s, e = run_start[r], run_end[r]
+            anchor = px64[s]
+            new_group[s + 1:e] = False
+            for i in range(s + 1, e):
+                if abs(px64[i] - anchor) >= 1e-8:
+                    new_group[i] = True
+                    anchor = px64[i]
 
     starts = np.flatnonzero(new_group)
     merged_ts = timestamps[starts]
