@@ -22,6 +22,10 @@ import numpy as np
 
 def main():
     import jax
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # sitecustomize re-latches JAX_PLATFORMS after process start; pin
+        # the CPU backend explicitly (see .claude/skills/verify/SKILL.md)
+        jax.config.update("jax_platforms", "cpu")
     if jax.default_backend() != "tpu" and len(jax.devices()) < 2:
         print("# need multiple devices; set "
               "XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu",
@@ -64,6 +68,20 @@ def main():
         print(f"# {nd} device(s): {results[nd]:,.0f} trades/s "
               f"({dt_s*1000:.1f} ms)", file=sys.stderr)
 
+    # --- sharded indexer layer (boundary discovery ON the mesh) ---
+    from finmlkit_tpu.parallel import sharded_indexers as si
+    idx_results = {}
+    for nd in sizes:
+        mesh = time_mesh(devices=all_devices[:nd])
+        si.sharded_time_bar_indexer(ts, 60.0, mesh)  # compile
+        t0 = time.time()
+        _, ci_s = si.sharded_time_bar_indexer(ts, 60.0, mesh)
+        dt_s = time.time() - t0
+        idx_results[nd] = n / dt_s
+        print(f"# sharded time indexer @ {nd} dev: {idx_results[nd]:,.0f} "
+              f"trades/s", file=sys.stderr)
+    assert np.array_equal(ci_s, np.asarray(ci)), "mesh indexer parity"
+
     if jax.default_backend() != "tpu":
         print("# NOTE: virtual CPU devices share the same physical cores — "
               "this validates the sharding/collective structure, not real "
@@ -76,9 +94,13 @@ def main():
               file=sys.stderr)
     print(json.dumps({
         "metric": "sharded_bar_products_scaling",
+        "environment": ("virtual-cpu-mesh structure validation"
+                        if jax.default_backend() != "tpu" else "tpu"),
         "n_trades": n,
         "trades_per_sec": {str(k): round(v) for k, v in results.items()},
         "efficiency": {str(k): round(v, 3) for k, v in effs.items()},
+        "sharded_indexer_trades_per_sec": {
+            str(k): round(v) for k, v in idx_results.items()},
     }))
 
 
