@@ -299,12 +299,24 @@ class FeatureKit:
         return order + missing
 
     # --- execution ----------------------------------------------------
-    def build(self, df, *, backend="jax", timeit=False, order: str = "defined"):
+    def build(self, df, *, backend="jax", timeit=False, order: str = "defined",
+              profile_dir: str = None):
         """Run all features; returns retained + computed columns.
 
         ``order="topo"`` executes in dependency order so features that
         consume other features' outputs hit the column cache.
+
+        ``profile_dir`` (or the ``FMKT_PROFILE_DIR`` env var) captures a
+        ``jax.profiler`` device trace of the whole build, with one named
+        TraceAnnotation per feature — the TPU-native analog of the
+        reference's wall-clock timeit chart (SURVEY §5); view with
+        TensorBoard or Perfetto.
         """
+        import contextlib
+        import os as _os
+
+        profile_dir = profile_dir or _os.environ.get("FMKT_PROFILE_DIR")
+
         out = df[self.retain].copy()
         df = df.copy()
 
@@ -315,22 +327,27 @@ class FeatureKit:
             features_seq = [name2feat[n] for n in topo if n in name2feat]
             features_seq += [f for f in self.features if str(f.name) not in set(topo)]
 
-        timing = {}
-        for feat in features_seq:
-            t0 = time.time() if timeit else None
-            res = feat(df, cache=df, backend=backend)
-            if timeit:
-                timing[str(feat.name)] = time.time() - t0
+        if profile_dir:
+            import jax
+            trace_ctx = jax.profiler.trace(profile_dir)
 
-            if isinstance(res, pd.Series):
-                out[feat.name] = res
-                df[feat.transform.output_name] = res
-            elif isinstance(res, tuple):
-                for item in res:
-                    out[item.name] = item
-                    df[item.name] = item
-            else:
-                raise TypeError(f"Transform {feat} returned unexpected type: {type(res)}")
+            def annot(name):
+                return jax.profiler.TraceAnnotation(f"feature:{name}")
+        else:
+            trace_ctx = contextlib.nullcontext()
+
+            def annot(name):
+                return contextlib.nullcontext()
+
+        timing = {}
+        with trace_ctx:
+            for feat in features_seq:
+                t0 = time.time() if timeit else None
+                with annot(str(feat.name)):
+                    res = feat(df, cache=df, backend=backend)
+                if timeit:
+                    timing[str(feat.name)] = time.time() - t0
+                self._store_result(out, df, feat, res)
 
         if timeit:
             print("\nFeature Timing Analysis:")
@@ -341,3 +358,15 @@ class FeatureKit:
                 bar = "█" * (int(t / max_t * 50) if max_t > 0 else 0)
                 print(f"{name:<30} | {bar} {t:.4f}s")
         return out
+
+    @staticmethod
+    def _store_result(out, df, feat, res):
+        if isinstance(res, pd.Series):
+            out[feat.name] = res
+            df[feat.transform.output_name] = res
+        elif isinstance(res, tuple):
+            for item in res:
+                out[item.name] = item
+                df[item.name] = item
+        else:
+            raise TypeError(f"Transform {feat} returned unexpected type: {type(res)}")

@@ -184,3 +184,21 @@ class TestSerialization:
                                        output_cols="log_close", pass_numpy=True))
         f2 = Feature.from_config(f.to_config())
         np.testing.assert_allclose(np.asarray(f(df)), np.asarray(f2(df)))
+
+
+class TestProfilerHook:
+    def test_profile_dir_captures_trace(self, tmp_path):
+        """build(profile_dir=...) wraps the run in a jax.profiler trace
+        with one TraceAnnotation per feature (SURVEY §5 aux tooling)."""
+        import numpy as np
+        import pandas as pd
+        from finmlkit_tpu.feature.kit import Feature, FeatureKit
+        from finmlkit_tpu.feature.transforms import SMA
+
+        idx = pd.date_range("2024-01-01", periods=256, freq="1min")
+        df = pd.DataFrame({"close": np.linspace(100, 110, 256)}, index=idx)
+        kit = FeatureKit([Feature(SMA(8, "close"))], retain=["close"])
+        out = kit.build(df, backend="pd", profile_dir=str(tmp_path))
+        assert f"close_sma{8}" in out.columns or "close_sma8" in out.columns
+        produced = list(tmp_path.rglob("*"))
+        assert any(p.is_file() for p in produced), "no trace files written"
