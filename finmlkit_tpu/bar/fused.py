@@ -171,6 +171,24 @@ def fused_raw_device(price_ticks, amount_units, ci, sides,
     return gather_planes(planes, planes_in[0], ci)
 
 
+@partial(jax.jit, static_argnames=("n_pad", "interpret"))
+def _fused_all_jit(price_ticks, amount_units, sides, ci, n_pad: int,
+                   interpret: bool):
+    """prep -> Pallas scan -> boundary gathers in ONE compiled program
+    (one dispatch over the remote transport instead of three)."""
+    planes_in = _prep_planes(price_ticks, amount_units, sides, ci, n_pad)
+    planes = bar_scan_planes(*planes_in, interpret=interpret)
+    return _gather_post(tuple(planes), planes_in[0], ci)
+
+
+def fused_raw_device_onejit(price_ticks, amount_units, ci, sides,
+                            interpret: bool = False):
+    """Single-dispatch variant of :func:`fused_raw_device`."""
+    n = int(price_ticks.shape[0])
+    return _fused_all_jit(price_ticks, amount_units, sides, ci,
+                          _n_rows(n) * 128, interpret)
+
+
 def _convert_host(raw, med, tick_size, amount_scale):
     """Host-side f64 unit conversion on the small per-bar arrays."""
     (open_raw, high_t, low_t, close_t, counts, vol_u, dollar_u,
@@ -301,7 +319,8 @@ def trade_size_features_native(amounts_host, ci_host, theta, theta_mult):
 def bar_products_fused(price_ticks, amount_units, ci, sides, *,
                        tick_size, amount_scale,
                        amounts_host=None, ci_host=None,
-                       amounts_f32=None, interpret: bool = False):
+                       amounts_f32=None, interpret: bool = False,
+                       one_dispatch: bool = False):
     """Full fused OHLCV + directional bar products.
 
     Device work (3 dispatches) and the host-native median selection run
@@ -318,8 +337,8 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
     :param amounts_f32: float32 device amounts for the sort fallback.
     :returns: (ohlcv dict, directional dict) of host numpy arrays.
     """
-    raw = fused_raw_device(price_ticks, amount_units, ci, sides,
-                           interpret=interpret)
+    dev = fused_raw_device_onejit if one_dispatch else fused_raw_device
+    raw = dev(price_ticks, amount_units, ci, sides, interpret=interpret)
     med = None
     if amounts_host is not None and ci_host is not None:
         med = native.seg_median_pair(amounts_host, ci_host)

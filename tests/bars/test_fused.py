@@ -87,3 +87,20 @@ class TestFusedMedianFallback:
             *args, amounts_f32=jnp.asarray(amount), **kw)
         np.testing.assert_allclose(o_sort["median_trade_size"],
                                    o_native["median_trade_size"], rtol=1e-6)
+
+
+def test_one_dispatch_variant_matches():
+    """The single-jit (one-dispatch) device path must equal the staged
+    3-dispatch path exactly (same kernels, one compiled program)."""
+    price, amount, side, q, ci = _mk(n=4000, seed=9, n_bars=40)
+    import jax
+    a = fused.fused_raw_device(jnp.asarray(q.price_ticks),
+                               jnp.asarray(q.amount_units),
+                               jnp.asarray(ci), jnp.asarray(side),
+                               interpret=True)
+    b = fused.fused_raw_device_onejit(jnp.asarray(q.price_ticks),
+                                      jnp.asarray(q.amount_units),
+                                      jnp.asarray(ci), jnp.asarray(side),
+                                      interpret=True)
+    for x, y in zip(jax.device_get(a), jax.device_get(b)):
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
