@@ -19,7 +19,8 @@ from .timef import time_cues
 from .reversion import vwap_distance
 from .volume import comp_flow_acceleration, vpin
 from .correlation import rolling_price_volume_correlation
-from .structural_break import cusum_test_rolling, cusum_test_developing
+from .structural_break import (cusum_test_rolling, cusum_test_developing,
+                               cusum_test_last)
 
 __all__ = [
     "ewma", "sma", "ewms", "ewmst", "ewmst_mean0", "true_range",
@@ -28,5 +29,5 @@ __all__ = [
     "stoch_k", "adx", "comp_lagged_returns", "comp_zscore",
     "comp_burst_ratio", "pct_change", "time_cues", "vwap_distance",
     "comp_flow_acceleration", "vpin", "rolling_price_volume_correlation",
-    "cusum_test_rolling", "cusum_test_developing",
+    "cusum_test_rolling", "cusum_test_developing", "cusum_test_last",
 ]
