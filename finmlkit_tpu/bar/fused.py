@@ -101,7 +101,7 @@ def _gather_post(planes, ticks_plane, ci):
     (pbu_hi, pbu_lo, psu_hi, psu_lo, pbd_hi, pbd_lo, psd_hi, psd_lo,
      ptu_hi, ptu_lo, ptd_hi, ptd_lo,
      ptb, pts, psp, r_high, r_low, r_spmax, r_ctmin, r_ctmax,
-     r_cvmin, r_cvmax, r_cdmin, r_cdmax) = planes
+     r_cvmin, r_cvmax, r_cdmin, r_cdmax) = planes[:24]
     n_elems = ticks_plane.shape[0] * 128
     e = jnp.clip(ci[1:], 0, n_elems - 1).astype(jnp.int32)
     a_raw = ci[:-1]
@@ -187,6 +187,59 @@ def fused_raw_device_onejit(price_ticks, amount_units, ci, sides,
     n = int(price_ticks.shape[0])
     return _fused_all_jit(price_ticks, amount_units, sides, ci,
                           _n_rows(n) * 128, interpret)
+
+
+@partial(jax.jit, static_argnames=("n_pad", "interpret"))
+def _fused_packed_jit(price_ticks, amount_units, sides, ci, n_pad: int,
+                      interpret: bool):
+    """One dispatch, minimal readback: prep -> Pallas scan -> boundary
+    gathers, packed into THREE stacked host buffers (i64 sums / i32
+    ticks / f32 extrema) so the remote transport sees 3 transfers of
+    ~5 MB instead of 21 round-trips. Medians stay on the host (native
+    seg_median_pair) overlapped with BOTH the device execution and the
+    async readback — a full one-sort device median measured 219 ms at
+    39M trades on this chip, worse than the overlapped host path.
+    """
+    planes_in = _prep_planes(price_ticks, amount_units, sides, ci, n_pad)
+    planes = bar_scan_planes(*planes_in, interpret=interpret)
+    raw = _gather_post(tuple(planes), planes_in[0], ci)
+    (open_raw, high_t, low_t, close_t, counts, vol_u, dollar_u,
+     vol_buy_u, vol_sell_u, dol_buy_u, dol_sell_u,
+     ticks_buy, ticks_sell, cum_spread_t, max_spread_t,
+     ct_min, ct_max, cv_min, cv_max, cd_min, cd_max) = raw
+
+    packed_i64 = jnp.stack([vol_u, dollar_u, vol_buy_u, vol_sell_u,
+                            dol_buy_u, dol_sell_u])
+    packed_i32 = jnp.stack([open_raw, high_t, low_t, close_t,
+                            ticks_buy.astype(jnp.int32),
+                            ticks_sell.astype(jnp.int32),
+                            cum_spread_t.astype(jnp.int32),
+                            max_spread_t, ct_min, ct_max])
+    packed_f32 = jnp.stack([cv_min, cv_max, cd_min, cd_max])
+    return packed_i64, packed_i32, packed_f32
+
+
+def fused_packed_device(price_ticks, amount_units, ci, sides,
+                        interpret: bool = False):
+    """Single-dispatch fused products with packed 3-buffer readback."""
+    n = int(price_ticks.shape[0])
+    return _fused_packed_jit(price_ticks, amount_units, sides, ci,
+                             _n_rows(n) * 128, interpret)
+
+
+def _unpack_raw(packed, ci_host):
+    """Rebuild the 21-tuple raw layout from the packed buffers."""
+    p64, p32, pf = [np.asarray(x) for x in packed]
+    counts = np.diff(np.asarray(ci_host))
+    vol_u, dollar_u, vol_buy_u, vol_sell_u, dol_buy_u, dol_sell_u = p64
+    (open_raw, high_t, low_t, close_t, ticks_buy, ticks_sell,
+     cum_spread_t, max_spread_t, ct_min, ct_max) = p32
+    cv_min, cv_max, cd_min, cd_max = pf
+    return (open_raw, high_t, low_t, close_t, counts, vol_u, dollar_u,
+            vol_buy_u, vol_sell_u, dol_buy_u, dol_sell_u,
+            ticks_buy.astype(np.int64), ticks_sell.astype(np.int64),
+            cum_spread_t.astype(np.int64), max_spread_t,
+            ct_min, ct_max, cv_min, cv_max, cd_min, cd_max)
 
 
 def _convert_host(raw, med, tick_size, amount_scale):
@@ -316,16 +369,30 @@ def trade_size_features_native(amounts_host, ci_host, theta, theta_mult):
     }
 
 
+def _start_host_copies(bufs):
+    """Kick off device->host DMA for every buffer without blocking."""
+    for b in bufs:
+        try:
+            b.copy_to_host_async()
+        except AttributeError:  # older jax array types
+            break
+
+
 def bar_products_fused(price_ticks, amount_units, ci, sides, *,
                        tick_size, amount_scale,
                        amounts_host=None, ci_host=None,
                        amounts_f32=None, interpret: bool = False,
-                       one_dispatch: bool = False):
+                       one_dispatch: bool = False, packed: bool = False):
     """Full fused OHLCV + directional bar products.
 
-    Device work (3 dispatches) and the host-native median selection run
-    overlapped: the device queue is launched first, the host medians
-    compute while it drains.
+    The device dispatch, the device->host readback DMA, and the
+    host-native median selection all run overlapped: the device program
+    is launched first, ``copy_to_host_async`` queues the readback behind
+    it, and the host medians compute while both drain. With
+    ``packed=True`` the device program additionally stacks the 21 per-bar
+    outputs into 3 buffers so the remote transport pays 3 round-trips
+    instead of 21 (the measured per-transfer overhead through the dev
+    tunnel dominates the byte cost at ~45k-bar sizes).
 
     :param price_ticks: int32 device array of quantized prices.
     :param amount_units: int64 device array of quantized amounts.
@@ -337,8 +404,14 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
     :param amounts_f32: float32 device amounts for the sort fallback.
     :returns: (ohlcv dict, directional dict) of host numpy arrays.
     """
-    dev = fused_raw_device_onejit if one_dispatch else fused_raw_device
-    raw = dev(price_ticks, amount_units, ci, sides, interpret=interpret)
+    if packed:
+        bufs = fused_packed_device(price_ticks, amount_units, ci, sides,
+                                   interpret=interpret)
+        _start_host_copies(bufs)
+    else:
+        dev = fused_raw_device_onejit if one_dispatch else fused_raw_device
+        bufs = dev(price_ticks, amount_units, ci, sides, interpret=interpret)
+        _start_host_copies(bufs)
     med = None
     if amounts_host is not None and ci_host is not None:
         med = native.seg_median_pair(amounts_host, ci_host)
@@ -347,5 +420,8 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
             amounts_f32 = (amount_units.astype(jnp.float64)
                            * amount_scale).astype(jnp.float32)
         med = _median_device(amounts_f32, ci, int(price_ticks.shape[0]))
-    raw = jax.device_get(raw)
+    if packed:
+        raw = _unpack_raw(bufs, ci_host if ci_host is not None else ci)
+    else:
+        raw = jax.device_get(bufs)
     return _convert_host(raw, med, tick_size, amount_scale)

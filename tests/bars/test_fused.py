@@ -104,3 +104,37 @@ def test_one_dispatch_variant_matches():
                                       interpret=True)
     for x, y in zip(jax.device_get(a), jax.device_get(b)):
         np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+class TestPackedVariant:
+    """The packed 3-buffer readback path must be bit-identical to the
+    per-array path (same device program, different output layout)."""
+
+    def test_packed_matches_per_array(self):
+        price, amount, side, q, ci = _mk(seed=11)
+        args = (jnp.asarray(q.price_ticks), jnp.asarray(q.amount_units),
+                jnp.asarray(ci), jnp.asarray(side))
+        kw = dict(tick_size=q.tick_size, amount_scale=q.amount_scale,
+                  amounts_host=amount, ci_host=ci, interpret=True)
+        o1, d1 = fused.bar_products_fused(*args, **kw)
+        o2, d2 = fused.bar_products_fused(*args, packed=True, **kw)
+        for k in o1:
+            np.testing.assert_array_equal(
+                np.asarray(o1[k]), np.asarray(o2[k]), err_msg=k)
+        for k in d1:
+            np.testing.assert_array_equal(
+                np.asarray(d1[k]), np.asarray(d2[k]), err_msg=k)
+
+    def test_packed_device_median_fallback(self):
+        # without host amounts the packed path uses the device sort
+        price, amount, side, q, ci = _mk(seed=12, n=3000, n_bars=30)
+        o, d = fused.bar_products_fused(
+            jnp.asarray(q.price_ticks), jnp.asarray(q.amount_units),
+            jnp.asarray(ci), jnp.asarray(side), tick_size=q.tick_size,
+            amount_scale=q.amount_scale, packed=True, interpret=True,
+            amounts_f32=jnp.asarray(amount))
+        ref = aggregate.comp_bar_ohlcv(jnp.asarray(price),
+                                       jnp.asarray(amount), jnp.asarray(ci))
+        np.testing.assert_allclose(
+            np.asarray(o["median_trade_size"]),
+            np.asarray(ref["median_trade_size"]), rtol=1e-6, atol=1e-9)
