@@ -104,11 +104,14 @@ def main():
     print(f"# index: {n_bars:,} bars, cold {t_index_cold:.1f}s "
           f"warm {t_index*1000:.1f}ms", file=sys.stderr)
 
-    def products(one_dispatch, packed=False):
+    amj = jax.device_put(jnp.asarray(amount))
+
+    def products(one_dispatch, packed=False, dev_med=False):
         return fused.bar_products_fused(
             tkj, unj, ci, sdj, tick_size=q.tick_size,
             amount_scale=q.amount_scale, amounts_host=amount,
             ci_host=ci_host, one_dispatch=one_dispatch, packed=packed,
+            device_medians=dev_med, amounts_f32=amj if dev_med else None,
             interpret=interp)
 
     # device-only time (no medians/readback) for the transport decomposition
@@ -135,26 +138,42 @@ def main():
           f"one-jit {t_dev1*1000:.1f}ms (cold {t_cold:.1f}s/{t_cold1:.1f}s) "
           f"-> using {'one-jit' if one else 'staged'}", file=sys.stderr)
 
-    # packed 3-buffer readback variant (async DMA overlapped with the
-    # host medians); cold compile is one-time and cached
+    # e2e variants: per-array readback vs packed 3-buffer (async DMA
+    # overlapped with host medians) vs packed + on-device radix medians
+    # (segment_select engine; frees the host). Cold compiles are
+    # one-time and cached.
+    variants = {}
     try:
         t_cold2_0 = time.time()
         products(one, packed=True)
         t_cold2 = time.time() - t_cold2_0
-        t_e2e_packed, _ = _bench(lambda: products(one, packed=True), k=3)
-        t_e2e_plain, _ = _bench(lambda: products(one), k=3)
-        use_packed = t_e2e_packed <= t_e2e_plain
-        print(f"# e2e variants: packed {t_e2e_packed*1000:.1f}ms "
-              f"(cold {t_cold2:.1f}s), per-array {t_e2e_plain*1000:.1f}ms "
-              f"-> using {'packed' if use_packed else 'per-array'}",
-              file=sys.stderr)
+        variants["packed"], _ = _bench(
+            lambda: products(one, packed=True), k=3)
+        variants["per-array"], _ = _bench(lambda: products(one), k=3)
+        print(f"# packed cold {t_cold2:.1f}s", file=sys.stderr)
     except Exception as e:
-        print(f"# packed variant failed ({type(e).__name__}: {e}); "
-              f"using per-array", file=sys.stderr)
-        use_packed = False
+        print(f"# packed variant failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+        variants["per-array"], _ = _bench(lambda: products(one), k=3)
+    try:
+        t_cold3_0 = time.time()
+        products(one, packed=True, dev_med=True)
+        t_cold3 = time.time() - t_cold3_0
+        variants["packed+devmed"], _ = _bench(
+            lambda: products(one, packed=True, dev_med=True), k=3)
+        print(f"# packed+devmed cold {t_cold3:.1f}s", file=sys.stderr)
+    except Exception as e:
+        print(f"# devmed variant failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+    best = min(variants, key=variants.get)
+    print("# e2e variants: " + ", ".join(
+        f"{k} {v*1000:.1f}ms" for k, v in variants.items())
+        + f" -> using {best}", file=sys.stderr)
+    use_packed = best != "per-array"
+    use_devmed = best == "packed+devmed"
 
     t_products, (ohlcv, direc) = _bench(
-        lambda: products(one, packed=use_packed), k=6)
+        lambda: products(one, packed=use_packed, dev_med=use_devmed), k=6)
     t_dev = min(t_dev1, t_dev3)
     print(f"# bar products e2e: {t_products*1000:.1f}ms "
           f"(device {t_dev*1000:.1f}ms, host medians+readback+convert "

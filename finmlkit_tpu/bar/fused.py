@@ -189,16 +189,21 @@ def fused_raw_device_onejit(price_ticks, amount_units, ci, sides,
                           _n_rows(n) * 128, interpret)
 
 
-@partial(jax.jit, static_argnames=("n_pad", "interpret"))
-def _fused_packed_jit(price_ticks, amount_units, sides, ci, n_pad: int,
-                      interpret: bool):
+@partial(jax.jit, static_argnames=("n_pad", "interpret", "device_medians"))
+def _fused_packed_jit(price_ticks, amount_units, sides, ci, amounts_f32,
+                      n_pad: int, interpret: bool, device_medians: bool):
     """One dispatch, minimal readback: prep -> Pallas scan -> boundary
     gathers, packed into THREE stacked host buffers (i64 sums / i32
     ticks / f32 extrema) so the remote transport sees 3 transfers of
-    ~5 MB instead of 21 round-trips. Medians stay on the host (native
-    seg_median_pair) overlapped with BOTH the device execution and the
-    async readback — a full one-sort device median measured 219 ms at
-    39M trades on this chip, worse than the overlapped host path.
+    ~5 MB instead of 21 round-trips.
+
+    ``device_medians=True`` additionally runs the sort-free radix median
+    selection (:mod:`finmlkit_tpu.ops.segment_select`) inside the same
+    program and appends the (lower, upper) middles to the f32 buffer —
+    freeing the host entirely. Otherwise medians stay on the host
+    (native seg_median_pair) overlapped with both the device execution
+    and the async readback; a full one-sort device median measured
+    219 ms at 39M trades on this chip, hence the radix engine.
     """
     planes_in = _prep_planes(price_ticks, amount_units, sides, ci, n_pad)
     planes = bar_scan_planes(*planes_in, interpret=interpret)
@@ -208,6 +213,30 @@ def _fused_packed_jit(price_ticks, amount_units, sides, ci, n_pad: int,
      ticks_buy, ticks_sell, cum_spread_t, max_spread_t,
      ct_min, ct_max, cv_min, cv_max, cd_min, cd_max) = raw
 
+    f32_rows = [cv_min, cv_max, cd_min, cd_max]
+    if device_medians:
+        from ..ops.pallas_scan import _cumsum_2d
+        from ..ops.segment_select import segment_median_pair_select
+
+        flags = planes_in[6]
+        valid = (flags.reshape(-1) & 1) != 0
+        # ADD-scatter of bar opens (NOT the prep's set-marks plane: empty
+        # bars share an open position and must still advance the bar id,
+        # mirroring ops/segment.bar_ids_from_close_indices)
+        n_bars = ci.shape[0] - 1
+        marks = jnp.zeros((n_pad + 1,), jnp.int32).at[
+            jnp.clip(ci[1:] + 1, 0, n_pad)].add(np.int32(1))[:n_pad]
+        if interpret:  # CPU path: XLA cumsum instead of the TPU kernel
+            bar_cum = jnp.cumsum(marks)
+        else:
+            bar_cum = _cumsum_2d(marks.reshape(-1, 128),
+                                 interpret=False).reshape(-1)
+        bar_id = jnp.clip(bar_cum, 0, n_bars - 1).astype(jnp.int32)
+        med_a, med_b = segment_median_pair_select(
+            amounts_f32, ci, bar_id, valid, n_pad=n_pad,
+            interpret=interpret, use_pallas=not interpret)
+        f32_rows += [med_a, med_b]
+
     packed_i64 = jnp.stack([vol_u, dollar_u, vol_buy_u, vol_sell_u,
                             dol_buy_u, dol_sell_u])
     packed_i32 = jnp.stack([open_raw, high_t, low_t, close_t,
@@ -215,31 +244,44 @@ def _fused_packed_jit(price_ticks, amount_units, sides, ci, n_pad: int,
                             ticks_sell.astype(jnp.int32),
                             cum_spread_t.astype(jnp.int32),
                             max_spread_t, ct_min, ct_max])
-    packed_f32 = jnp.stack([cv_min, cv_max, cd_min, cd_max])
+    packed_f32 = jnp.stack(f32_rows)
     return packed_i64, packed_i32, packed_f32
 
 
 def fused_packed_device(price_ticks, amount_units, ci, sides,
-                        interpret: bool = False):
+                        amounts_f32=None, interpret: bool = False,
+                        device_medians: bool = False):
     """Single-dispatch fused products with packed 3-buffer readback."""
     n = int(price_ticks.shape[0])
+    n_pad = _n_rows(n) * 128
+    if device_medians:
+        assert amounts_f32 is not None, "device_medians needs amounts_f32"
+        pad = n_pad - n
+        if pad:
+            amounts_f32 = jnp.concatenate(
+                [amounts_f32, jnp.zeros((pad,), jnp.float32)])
+    else:
+        amounts_f32 = jnp.zeros((0,), jnp.float32)
     return _fused_packed_jit(price_ticks, amount_units, sides, ci,
-                             _n_rows(n) * 128, interpret)
+                             amounts_f32, n_pad, interpret, device_medians)
 
 
 def _unpack_raw(packed, ci_host):
-    """Rebuild the 21-tuple raw layout from the packed buffers."""
+    """Rebuild the 21-tuple raw layout (+ optional medians) from the
+    packed buffers. Returns (raw, med_or_None)."""
     p64, p32, pf = [np.asarray(x) for x in packed]
     counts = np.diff(np.asarray(ci_host))
     vol_u, dollar_u, vol_buy_u, vol_sell_u, dol_buy_u, dol_sell_u = p64
     (open_raw, high_t, low_t, close_t, ticks_buy, ticks_sell,
      cum_spread_t, max_spread_t, ct_min, ct_max) = p32
-    cv_min, cv_max, cd_min, cd_max = pf
-    return (open_raw, high_t, low_t, close_t, counts, vol_u, dollar_u,
-            vol_buy_u, vol_sell_u, dol_buy_u, dol_sell_u,
-            ticks_buy.astype(np.int64), ticks_sell.astype(np.int64),
-            cum_spread_t.astype(np.int64), max_spread_t,
-            ct_min, ct_max, cv_min, cv_max, cd_min, cd_max)
+    cv_min, cv_max, cd_min, cd_max = pf[:4]
+    med = (pf[4], pf[5]) if pf.shape[0] >= 6 else None
+    raw = (open_raw, high_t, low_t, close_t, counts, vol_u, dollar_u,
+           vol_buy_u, vol_sell_u, dol_buy_u, dol_sell_u,
+           ticks_buy.astype(np.int64), ticks_sell.astype(np.int64),
+           cum_spread_t.astype(np.int64), max_spread_t,
+           ct_min, ct_max, cv_min, cv_max, cd_min, cd_max)
+    return raw, med
 
 
 def _convert_host(raw, med, tick_size, amount_scale):
@@ -382,7 +424,8 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
                        tick_size, amount_scale,
                        amounts_host=None, ci_host=None,
                        amounts_f32=None, interpret: bool = False,
-                       one_dispatch: bool = False, packed: bool = False):
+                       one_dispatch: bool = False, packed: bool = False,
+                       device_medians: bool = False):
     """Full fused OHLCV + directional bar products.
 
     The device dispatch, the device->host readback DMA, and the
@@ -404,24 +447,36 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
     :param amounts_f32: float32 device amounts for the sort fallback.
     :returns: (ohlcv dict, directional dict) of host numpy arrays.
     """
+    if device_medians and not packed:
+        raise ValueError("device_medians requires packed=True")
+    if device_medians and amounts_f32 is None:
+        amounts_f32 = (amount_units.astype(jnp.float64)
+                       * amount_scale).astype(jnp.float32)
     if packed:
         bufs = fused_packed_device(price_ticks, amount_units, ci, sides,
-                                   interpret=interpret)
+                                   amounts_f32=amounts_f32,
+                                   interpret=interpret,
+                                   device_medians=device_medians)
         _start_host_copies(bufs)
     else:
         dev = fused_raw_device_onejit if one_dispatch else fused_raw_device
         bufs = dev(price_ticks, amount_units, ci, sides, interpret=interpret)
         _start_host_copies(bufs)
     med = None
-    if amounts_host is not None and ci_host is not None:
-        med = native.seg_median_pair(amounts_host, ci_host)
-    if med is None:
-        if amounts_f32 is None:
-            amounts_f32 = (amount_units.astype(jnp.float64)
-                           * amount_scale).astype(jnp.float32)
-        med = _median_device(amounts_f32, ci, int(price_ticks.shape[0]))
+    if not device_medians:
+        if amounts_host is not None and ci_host is not None:
+            med = native.seg_median_pair(amounts_host, ci_host)
+        if med is None:
+            if amounts_f32 is None:
+                amounts_f32 = (amount_units.astype(jnp.float64)
+                               * amount_scale).astype(jnp.float32)
+            med = _median_device(amounts_f32, ci, int(price_ticks.shape[0]))
     if packed:
-        raw = _unpack_raw(bufs, ci_host if ci_host is not None else ci)
+        raw, med_packed = _unpack_raw(bufs, ci_host if ci_host is not None
+                                      else ci)
+        if med is None:
+            med = med_packed
     else:
         raw = jax.device_get(bufs)
+    assert med is not None
     return _convert_host(raw, med, tick_size, amount_scale)

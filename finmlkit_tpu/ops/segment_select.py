@@ -1,0 +1,200 @@
+"""Sort-free per-bar median selection on device.
+
+Replaces the two host-side ``np.median`` middles (reference:
+``np.median`` per bar inside comp_bar_ohlcv,
+/root/reference/finmlkit/bar/base.py:341-346) with a 4-round radix
+histogram refinement over the float32 amounts — no global sort (a full
+one-sort segment median measured 219 ms at 39M trades on this chip; the
+threaded native host path costs ~300 ms on a 2-core host and was the
+critical path of the fused product pipeline), no per-trade gathers
+(the slowest TPU primitive):
+
+Round r (r = 0..3) finds the next 8 bits of the upper-middle value's
+order-preserving bit pattern, per bar, simultaneously:
+
+1. broadcast each bar's current 8r-bit prefix to its trades with a
+   segmented last-fill Pallas scan (streaming; bar-open marks reset);
+2. per-trade ``active = prefix(bits) == bar_prefix`` (elementwise);
+3. per-(bar, next-byte) counts via ONE int32 scatter-add over the flat
+   id ``bar_id * 256 + byte`` — the same scatter+prefix pattern the
+   time indexer uses at 39M trades;
+4. per-bar 256-bucket cumulative counts via two f32 triangular matmuls
+   on 12-bit digit planes (MXU; exact for < 2^31 trades per bar and
+   avoids XLA cumsum's pathological compile on this TPU), pick the
+   bucket containing the target rank, update prefix and rank.
+
+After 4 rounds the prefix IS the exact bit pattern of the c//2-th
+smallest amount (numpy upper middle). One final streaming pass derives
+the lower middle: ``count_less`` and ``max_less`` per bar via
+scatter-add/scatter-max decide between the upper-middle value and the
+largest strictly-smaller value (exact under duplicates).
+
+Positivity assumption: trade amounts are strictly positive (validated
+at ingestion), so their order-preserving bits always carry the top bit
+set and ``bits & 0x7FFFFFFF`` preserves order in nonnegative int32 —
+every scatter/fill below stays in nonnegative int32 space.
+
+Scatter-source positions are masked to NON-EMPTY bars: empty bars share
+their open position with the following real bar (duplicate ``ci``), and
+only the bar that owns trades may win the position. Empty bars receive
+garbage medians here; callers mask on the trade count (as the fused
+converter already does).
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_scan import ROWS, LANES, _scan2d, _c_last
+
+
+def _fill_last_kernel(v_ref, m_ref, o_ref, carry):
+    """Segmented last-fill: out[j] = value at the latest mark <= j."""
+    i = pl.program_id(0)
+    v = v_ref[...]
+    m = m_ref[...]
+    f, seen = _scan2d((v, m), _c_last)
+    prev = jnp.where(i == 0, jnp.zeros((), jnp.int32), carry[0, 0])
+    out = jnp.where(seen != 0, f, prev)
+    o_ref[...] = out
+    carry[0, 0] = out[ROWS - 1, LANES - 1]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _fill_last_planes(vals, marks, interpret=False):
+    n_rows = vals.shape[0]
+    spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, np.int32(0)))
+    return pl.pallas_call(
+        _fill_last_kernel,
+        grid=(n_rows // ROWS,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(vals.shape, jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32)],
+        interpret=interpret,
+    )(vals, marks)
+
+
+def _fill_last(flat_vals_i32, flat_marks_i32, n_pad: int, interpret: bool,
+               use_pallas: bool):
+    """Length-n_pad segmented last-fill of nonnegative int32 values."""
+    if use_pallas:
+        out = _fill_last_planes(flat_vals_i32.reshape(-1, LANES),
+                                flat_marks_i32.reshape(-1, LANES),
+                                interpret=interpret)
+        return out.reshape(-1)
+    # XLA fallback (CPU product path): cummax over position-tagged marks
+    pos = jnp.where(flat_marks_i32 != 0,
+                    jnp.arange(n_pad, dtype=jnp.int32), np.int32(-1))
+    last_pos = jax.lax.cummax(pos)
+    safe = jnp.clip(last_pos, 0, n_pad - 1)
+    return jnp.where(last_pos >= 0, flat_vals_i32[safe], 0)
+
+
+def _sortable_pos31(x_f32):
+    """Order-preserving NONNEGATIVE int31 bits for positive float32.
+
+    Positive floats compare like their raw bit patterns (which have the
+    sign bit clear), so the pattern itself is the order key. Zeros/NaNs
+    on pad slots are harmless (masked by ``valid``).
+    """
+    bits = jax.lax.bitcast_convert_type(x_f32, jnp.uint32)
+    return (bits & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+
+
+def _from_pos31(key_i32):
+    return jax.lax.bitcast_convert_type(
+        key_i32.astype(jnp.uint32), jnp.float32)
+
+
+def _cum256_exact(hist_i32):
+    """Per-row inclusive cumsum over 256 buckets, exact for row totals
+    < 2^31: two f32 triangular matmuls on 12-bit digit planes (each
+    digit cumsum stays < 2^20 resp. 2^31/2^12 * 256 < 2^27 — inside
+    f32's exact-integer range)."""
+    tri = jnp.triu(jnp.ones((256, 256), jnp.float32))  # cum = hist @ tri? see below
+    # cum[j] = sum_{i <= j} hist[i]  ->  (hist @ M)[j] with M[i, j] = 1 for i <= j
+    hi = (hist_i32 >> 12).astype(jnp.float32)
+    lo = (hist_i32 & 0xFFF).astype(jnp.float32)
+    cum_hi = (hi @ tri).astype(jnp.int32)
+    cum_lo = (lo @ tri).astype(jnp.int32)
+    return (cum_hi << 12) + cum_lo
+
+
+def segment_median_pair_select(amounts_f32, ci, bar_id, valid, *,
+                               n_pad: int, interpret: bool = False,
+                               use_pallas: bool = True):
+    """Per-bar (lower, upper) median values — device radix selection.
+
+    :param amounts_f32: (n_pad,) float32 strictly-positive amounts
+        (pad slots arbitrary).
+    :param ci: (n_bars+1,) int64 close indices, reference convention.
+    :param bar_id: (n_pad,) int32 bar id per trade (pad arbitrary).
+    :param valid: (n_pad,) bool — trade inside some bar (False on pad).
+    :returns: (med_a, med_b) float32 per bar; empty bars carry garbage
+        (callers mask on trade count).
+    """
+    n_bars = ci.shape[0] - 1
+    u = _sortable_pos31(amounts_f32)           # nonneg i32, 31 bits
+    bar32 = bar_id.astype(jnp.int32)
+    c = jnp.diff(ci).astype(jnp.int32)
+    k_hi = c >> 1                              # upper-middle rank
+    k_lo = jnp.maximum(c - 1, 0) >> 1
+
+    # bar-open marks; scatter sources masked to non-empty in-stream bars
+    # (empty bars share their open position with the next real bar)
+    open_raw = ci[:-1] + 1
+    in_stream = (open_raw >= 0) & (open_raw < n_pad)
+    src = in_stream & (c > 0)
+    open_pos = jnp.where(src, open_raw, n_pad - 1).astype(jnp.int32)
+    marks = jnp.zeros((n_pad,), jnp.int32).at[open_pos].max(
+        src.astype(jnp.int32))
+
+    def bar_fill(per_bar_vals_i32):
+        """Broadcast nonneg per-bar values to that bar's trades."""
+        scat = jnp.zeros((n_pad,), jnp.int32).at[open_pos].max(
+            jnp.where(src, per_bar_vals_i32, 0))
+        return _fill_last(scat, marks, n_pad, interpret, use_pallas)
+
+    dump = n_bars * 256
+    flatbase = bar32 * 256
+    k = k_hi
+    prefix = jnp.zeros((n_bars,), jnp.int32)
+
+    # 31 bits in rounds of 7 + 8 + 8 + 8
+    shifts = (24, 16, 8, 0)
+    for r, shift_cur in enumerate(shifts):
+        if r == 0:
+            active = valid
+        else:
+            pfill = bar_fill(prefix)
+            active = valid & ((u >> (shift_cur + 8)) == pfill)
+        byte = (u >> shift_cur) & np.int32(255)
+        flat = jnp.where(active, flatbase + byte, dump)
+        hist = jnp.zeros((dump + 1,), jnp.int32).at[flat].add(np.int32(1))
+        cum = _cum256_exact(hist[:dump].reshape(n_bars, 256))
+        bsel = jnp.sum((cum <= k[:, None]).astype(jnp.int32), axis=1)
+        bsel = jnp.minimum(bsel, 255)
+        cum_excl = jnp.concatenate(
+            [jnp.zeros((n_bars, 1), jnp.int32), cum[:, :-1]], axis=1)
+        cum_before = jnp.take_along_axis(cum_excl, bsel[:, None],
+                                         axis=1)[:, 0]
+        k = k - cum_before
+        prefix = (prefix << 8) | bsel
+
+    med_b = _from_pos31(prefix)
+
+    # ---- lower middle: count/max of strictly-smaller values ----
+    vfill = bar_fill(prefix)
+    less = valid & (u < vfill)
+    bar_dump = jnp.where(less, bar32, n_bars)
+    cnt_less = jnp.zeros((n_bars + 1,), jnp.int32).at[
+        bar_dump].add(np.int32(1))[:n_bars]
+    max_less = jnp.full((n_bars + 1,), np.int32(-1), jnp.int32).at[
+        bar_dump].max(jnp.where(less, u, np.int32(-1)))[:n_bars]
+    med_a = jnp.where((cnt_less == k_lo + 1) & (max_less >= 0),
+                      _from_pos31(max_less), med_b)
+    return med_a, med_b

@@ -138,3 +138,22 @@ class TestPackedVariant:
         np.testing.assert_allclose(
             np.asarray(o["median_trade_size"]),
             np.asarray(ref["median_trade_size"]), rtol=1e-6, atol=1e-9)
+
+    def test_packed_device_medians_match(self):
+        # radix-select medians inside the packed program vs host medians
+        price, amount, side, q, ci = _mk(seed=13)
+        args = (jnp.asarray(q.price_ticks), jnp.asarray(q.amount_units),
+                jnp.asarray(ci), jnp.asarray(side))
+        kw = dict(tick_size=q.tick_size, amount_scale=q.amount_scale,
+                  interpret=True)
+        o1, d1 = fused.bar_products_fused(
+            *args, amounts_host=amount, ci_host=ci, packed=True, **kw)
+        o2, d2 = fused.bar_products_fused(
+            *args, packed=True, device_medians=True,
+            amounts_f32=jnp.asarray(amount), ci_host=ci, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(o1["median_trade_size"]),
+            np.asarray(o2["median_trade_size"]))
+        for k in o1:
+            np.testing.assert_array_equal(np.asarray(o1[k]),
+                                          np.asarray(o2[k]), err_msg=k)
