@@ -227,6 +227,35 @@ def main():
         "events": int(len(events)),
     }
 
+    # --- feature-kit pass over the built bars (BASELINE config 4) ---
+    try:
+        import pandas as pd
+        from finmlkit_tpu.feature import Feature, FeatureKit
+        from finmlkit_tpu.feature import transforms as T
+
+        df = pd.DataFrame({
+            "close": ohlcv["close"][:n_bars],
+            "high": ohlcv["high"][:n_bars],
+            "low": ohlcv["low"][:n_bars],
+            "volume": ohlcv["volume"][:n_bars].astype(np.float64),
+        }, index=pd.DatetimeIndex(bar_ts))
+        kit = FeatureKit([
+            Feature(T.EWMA(20, "close")),
+            Feature(T.RSIWilder(14, "close")),
+            Feature(T.ATR(14)),
+            Feature(T.Return(1, "close", is_log=True)),
+            Feature(T.RealizedVolatility(30, input_col="close_ret1")),
+            Feature(T.ZScore(50, "close")),
+        ], retain=["close"])
+        t_feat, _ = _bench(lambda: kit.build(df, backend="jax",
+                                             order="topo"), k=3)
+        print(f"# feature kit (6 features, {n_bars:,} bars): "
+              f"{t_feat*1000:.1f}ms", file=sys.stderr)
+        extra["config4_feature_kit"] = {"t_ms": round(t_feat * 1e3, 2),
+                                        "n_bars": n_bars}
+    except Exception as e:
+        print(f"# feature-kit config failed: {e!r}", file=sys.stderr)
+
     # --- config 2: dollar bars + footprints ---
     try:
         from finmlkit_tpu.bar.indexers import dollar_bar_indexer_host
@@ -243,6 +272,55 @@ def main():
                 "t_dollar_index_ms": round(t_didx * 1e3, 1),
                 "n_bars": int(len(ci_d) - 1),
             }
+            try:  # device closed-form variant (one-time f64 compile)
+                from finmlkit_tpu.bar.indexers import dollar_bar_indexer_q
+                thr = float((price * amount).sum()) / 40000.0
+
+                def didx_dev():
+                    return jax.block_until_ready(dollar_bar_indexer_q(
+                        tsj, tkj, unj, thr, q.tick_size, q.amount_scale)[1])
+
+                t_dq, ci_dq = _bench(didx_dev, k=2)
+                print(f"# dollar index (device closed-form): "
+                      f"{int(ci_dq.shape[0])-1:,} bars {t_dq*1000:.0f}ms",
+                      file=sys.stderr)
+                extra["config2_dollar_footprint"][
+                    "t_dollar_index_device_ms"] = round(t_dq * 1e3, 1)
+            except Exception as e:
+                print(f"# device dollar index failed: {e!r}",
+                      file=sys.stderr)
+            # footprints on the dollar bars of a 4M-trade slice
+            from finmlkit_tpu.bar.footprint_q import comp_bar_footprints_q
+            m = min(4_000_000, N_TRADES)
+            nb4 = int(np.searchsorted(ci_d, m - 1))
+            ci4 = np.concatenate([ci_d[:nb4], [m - 1]]).astype(np.int64)
+            lows = np.minimum.reduceat(
+                q.price_ticks[:m], np.clip(ci4[:-1] + 1, 0, m - 1))
+            highs = np.maximum.reduceat(
+                q.price_ticks[:m], np.clip(ci4[:-1] + 1, 0, m - 1))
+            L = int(-(-int((highs - lows + 1).max()) // 256) * 256)
+            tk4 = tkj[:m]
+            am4 = (unj[:m].astype(jnp.float64)
+                   * q.amount_scale).astype(jnp.float32)
+            sd4 = sdj[:m]
+            ci4j = jax.device_put(jnp.asarray(ci4))
+            lowj = jax.device_put(jnp.asarray(lows))
+            highj = jax.device_put(jnp.asarray(highs))
+
+            def fp():
+                out = comp_bar_footprints_q(
+                    tk4, am4, ci4j, sd4, lowj, highj, 3.0, max_levels=L)
+                jax.block_until_ready(out["buy_volumes"])
+                return out
+
+            t_fp, _ = _bench(fp, k=2)
+            print(f"# dollar footprints (device, {m/1e6:.0f}M trades, "
+                  f"{len(ci4)-1:,} bars, L={L}): {t_fp*1000:.1f}ms = "
+                  f"{m/t_fp/1e6:.1f}M tr/s", file=sys.stderr)
+            extra["config2_dollar_footprint"]["t_footprint_ms"] = \
+                round(t_fp * 1e3, 1)
+            extra["config2_dollar_footprint"]["footprint_trades_per_sec"] = \
+                round(m / t_fp)
     except Exception as e:
         print(f"# dollar config failed: {e!r}", file=sys.stderr)
 

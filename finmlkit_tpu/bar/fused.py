@@ -189,21 +189,13 @@ def fused_raw_device_onejit(price_ticks, amount_units, ci, sides,
                           _n_rows(n) * 128, interpret)
 
 
-@partial(jax.jit, static_argnames=("n_pad", "interpret", "device_medians"))
-def _fused_packed_jit(price_ticks, amount_units, sides, ci, amounts_f32,
-                      n_pad: int, interpret: bool, device_medians: bool):
+@partial(jax.jit, static_argnames=("n_pad", "interpret"))
+def _fused_packed_jit(price_ticks, amount_units, sides, ci, n_pad: int,
+                      interpret: bool):
     """One dispatch, minimal readback: prep -> Pallas scan -> boundary
     gathers, packed into THREE stacked host buffers (i64 sums / i32
     ticks / f32 extrema) so the remote transport sees 3 transfers of
     ~5 MB instead of 21 round-trips.
-
-    ``device_medians=True`` additionally runs the sort-free radix median
-    selection (:mod:`finmlkit_tpu.ops.segment_select`) inside the same
-    program and appends the (lower, upper) middles to the f32 buffer —
-    freeing the host entirely. Otherwise medians stay on the host
-    (native seg_median_pair) overlapped with both the device execution
-    and the async readback; a full one-sort device median measured
-    219 ms at 39M trades on this chip, hence the radix engine.
     """
     planes_in = _prep_planes(price_ticks, amount_units, sides, ci, n_pad)
     planes = bar_scan_planes(*planes_in, interpret=interpret)
@@ -213,30 +205,6 @@ def _fused_packed_jit(price_ticks, amount_units, sides, ci, amounts_f32,
      ticks_buy, ticks_sell, cum_spread_t, max_spread_t,
      ct_min, ct_max, cv_min, cv_max, cd_min, cd_max) = raw
 
-    f32_rows = [cv_min, cv_max, cd_min, cd_max]
-    if device_medians:
-        from ..ops.pallas_scan import _cumsum_2d
-        from ..ops.segment_select import segment_median_pair_select
-
-        flags = planes_in[6]
-        valid = (flags.reshape(-1) & 1) != 0
-        # ADD-scatter of bar opens (NOT the prep's set-marks plane: empty
-        # bars share an open position and must still advance the bar id,
-        # mirroring ops/segment.bar_ids_from_close_indices)
-        n_bars = ci.shape[0] - 1
-        marks = jnp.zeros((n_pad + 1,), jnp.int32).at[
-            jnp.clip(ci[1:] + 1, 0, n_pad)].add(np.int32(1))[:n_pad]
-        if interpret:  # CPU path: XLA cumsum instead of the TPU kernel
-            bar_cum = jnp.cumsum(marks)
-        else:
-            bar_cum = _cumsum_2d(marks.reshape(-1, 128),
-                                 interpret=False).reshape(-1)
-        bar_id = jnp.clip(bar_cum, 0, n_bars - 1).astype(jnp.int32)
-        med_a, med_b = segment_median_pair_select(
-            amounts_f32, ci, bar_id, valid, n_pad=n_pad,
-            interpret=interpret, use_pallas=not interpret)
-        f32_rows += [med_a, med_b]
-
     packed_i64 = jnp.stack([vol_u, dollar_u, vol_buy_u, vol_sell_u,
                             dol_buy_u, dol_sell_u])
     packed_i32 = jnp.stack([open_raw, high_t, low_t, close_t,
@@ -244,26 +212,56 @@ def _fused_packed_jit(price_ticks, amount_units, sides, ci, amounts_f32,
                             ticks_sell.astype(jnp.int32),
                             cum_spread_t.astype(jnp.int32),
                             max_spread_t, ct_min, ct_max])
-    packed_f32 = jnp.stack(f32_rows)
+    packed_f32 = jnp.stack([cv_min, cv_max, cd_min, cd_max])
     return packed_i64, packed_i32, packed_f32
 
 
 def fused_packed_device(price_ticks, amount_units, ci, sides,
-                        amounts_f32=None, interpret: bool = False,
-                        device_medians: bool = False):
+                        interpret: bool = False):
     """Single-dispatch fused products with packed 3-buffer readback."""
     n = int(price_ticks.shape[0])
-    n_pad = _n_rows(n) * 128
-    if device_medians:
-        assert amounts_f32 is not None, "device_medians needs amounts_f32"
-        pad = n_pad - n
-        if pad:
-            amounts_f32 = jnp.concatenate(
-                [amounts_f32, jnp.zeros((pad,), jnp.float32)])
-    else:
-        amounts_f32 = jnp.zeros((0,), jnp.float32)
     return _fused_packed_jit(price_ticks, amount_units, sides, ci,
-                             amounts_f32, n_pad, interpret, device_medians)
+                             _n_rows(n) * 128, interpret)
+
+
+@partial(jax.jit, static_argnames=("n_pad", "n_bars", "interpret"))
+def _median_prep_jit(ci, amounts_f32, n_pad: int, n_bars: int,
+                     interpret: bool):
+    """bar ids (via ADD-scatter of bar opens — empty bars share an open
+    position but must still advance the id) + validity + padded amounts."""
+    n = amounts_f32.shape[0]
+    pad = n_pad - n
+    amounts_pad = jnp.concatenate(
+        [amounts_f32, jnp.zeros((pad,), jnp.float32)]) if pad else amounts_f32
+    marks = jnp.zeros((n_pad + 1,), jnp.int32).at[
+        jnp.clip(ci[1:] + 1, 0, n_pad)].add(np.int32(1))[:n_pad]
+    idx = jnp.arange(n_pad, dtype=ci.dtype)
+    valid = (idx > ci[0]) & (idx <= ci[-1])
+    return amounts_pad, marks, valid
+
+
+def median_select_device(amounts_f32, ci, interpret: bool = False):
+    """Per-bar np.median brackets via the radix select engine.
+
+    Runs as its own short dispatch sequence (measured ~30 ms at 39M
+    trades) — embedding it inside the big fused program regressed the
+    whole program ~5x (XLA scheduling interaction between the 24-plane
+    scan and the select's Pallas fills), so it stays a separate stage.
+    """
+    from ..ops.pallas_scan import _runs_on_tpu, fast_cumsum
+    from ..ops.segment_select import segment_median_pair_select
+
+    n = int(amounts_f32.shape[0])
+    n_pad = _n_rows(n) * 128
+    n_bars = int(ci.shape[0]) - 1
+    amounts_pad, marks, valid = _median_prep_jit(
+        ci, amounts_f32, n_pad, n_bars, interpret)
+    bar_cum = fast_cumsum(marks, interpret=True if interpret else None)
+    bar_id = jnp.clip(bar_cum, 0, n_bars - 1).astype(jnp.int32)
+    use_pallas = interpret or _runs_on_tpu(amounts_pad)
+    return segment_median_pair_select(
+        amounts_pad, ci, bar_id, valid, n_pad=n_pad,
+        interpret=interpret, use_pallas=use_pallas)
 
 
 def _unpack_raw(packed, ci_host):
@@ -447,23 +445,24 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
     :param amounts_f32: float32 device amounts for the sort fallback.
     :returns: (ohlcv dict, directional dict) of host numpy arrays.
     """
-    if device_medians and not packed:
-        raise ValueError("device_medians requires packed=True")
     if device_medians and amounts_f32 is None:
         amounts_f32 = (amount_units.astype(jnp.float64)
                        * amount_scale).astype(jnp.float32)
     if packed:
         bufs = fused_packed_device(price_ticks, amount_units, ci, sides,
-                                   amounts_f32=amounts_f32,
-                                   interpret=interpret,
-                                   device_medians=device_medians)
-        _start_host_copies(bufs)
+                                   interpret=interpret)
     else:
         dev = fused_raw_device_onejit if one_dispatch else fused_raw_device
         bufs = dev(price_ticks, amount_units, ci, sides, interpret=interpret)
-        _start_host_copies(bufs)
     med = None
-    if not device_medians:
+    if device_medians:
+        # radix select as its own short dispatch sequence; queued behind
+        # the main program, read back with the packed buffers
+        med_dev = median_select_device(amounts_f32, ci, interpret=interpret)
+        _start_host_copies(tuple(bufs) + tuple(med_dev))
+        med = med_dev
+    else:
+        _start_host_copies(bufs)
         if amounts_host is not None and ci_host is not None:
             med = native.seg_median_pair(amounts_host, ci_host)
         if med is None:
@@ -472,11 +471,8 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
                                * amount_scale).astype(jnp.float32)
             med = _median_device(amounts_f32, ci, int(price_ticks.shape[0]))
     if packed:
-        raw, med_packed = _unpack_raw(bufs, ci_host if ci_host is not None
-                                      else ci)
-        if med is None:
-            med = med_packed
+        raw, _ = _unpack_raw(bufs, ci_host if ci_host is not None else ci)
     else:
         raw = jax.device_get(bufs)
-    assert med is not None
+    med = (np.asarray(med[0]), np.asarray(med[1]))
     return _convert_host(raw, med, tick_size, amount_scale)

@@ -122,10 +122,18 @@ class BarBuilderBase(ABC):
             amounts_host = np.ascontiguousarray(
                 self.trades_df["amount"].values, dtype=np.float32)
             ci_host = np.asarray(self._ci_padded)
+            # packed 3-buffer readback + device radix medians when the
+            # host is weak (<= 4 cores the threaded native median loses
+            # to the ~30 ms on-device select); FMKT_MEDIANS=host|device
+            # overrides
+            med_env = os.environ.get("FMKT_MEDIANS", "auto")
+            dev_med = (med_env == "device" or
+                       (med_env == "auto" and (os.cpu_count() or 1) <= 4))
             self._fused_cache = fused_mod.bar_products_fused(
                 self._ticks, self._units, self._ci_padded, side,
                 tick_size=self._tick_size, amount_scale=self._amount_scale,
                 amounts_host=amounts_host, ci_host=ci_host,
+                packed=True, device_medians=dev_med,
                 interpret=(mode == "interpret"))
         return self._fused_cache
 
