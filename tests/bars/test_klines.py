@@ -68,3 +68,57 @@ class TestTimeBarReader:
         np.testing.assert_allclose(df1m["vwap"].values,
                                    vw.loc[df1m.index].values.astype(np.float32),
                                    rtol=1e-5)
+
+
+class TestResampleScenarios:
+    @pytest.mark.parametrize("tf", ["5min", "15min", "1h"])
+    def test_ohlc_parity_multi_timeframe(self, store_with_klines, tf):
+        reader = TimeBarReader(store_with_klines)
+        df1s = reader.read()
+        dftf = reader.read(timeframe=tf)
+        g = df1s.groupby(df1s.index.floor(tf))
+        np.testing.assert_allclose(dftf["open"], g["open"].first(),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(dftf["close"], g["close"].last(),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(dftf["low"], g["low"].min(), rtol=1e-12)
+        np.testing.assert_array_equal(dftf["trades"], g["trades"].sum())
+
+    def test_weighted_median_between_bounds(self, store_with_klines):
+        reader = TimeBarReader(store_with_klines)
+        df1s = reader.read()
+        df5 = reader.read(timeframe="5min")
+        g = df1s.groupby(df1s.index.floor("5min"))
+        lo = g["median_trade_size"].min()
+        hi = g["median_trade_size"].max()
+        assert np.all(df5["median_trade_size"].values >= lo.values - 1e-9)
+        assert np.all(df5["median_trade_size"].values <= hi.values + 1e-9)
+
+    def test_single_dominant_second_drives_median(self, store_with_klines):
+        # weighted median follows trade counts: a second holding nearly
+        # all trades dominates the per-window weighted median
+        reader = TimeBarReader(store_with_klines)
+        df1s = reader.read()
+        win = df1s.index.floor("5min")[0]
+        sub = df1s[df1s.index.floor("5min") == win]
+        dominant = sub.loc[sub["trades"].idxmax()]
+        if dominant["trades"] > sub["trades"].sum() * 0.5:
+            df5 = reader.read(timeframe="5min")
+            np.testing.assert_allclose(df5.loc[win, "median_trade_size"],
+                                       dominant["median_trade_size"],
+                                       rtol=1e-6)
+
+    def test_empty_range_returns_empty(self, store_with_klines):
+        reader = TimeBarReader(store_with_klines)
+        df = reader.read(start_time="2099-01-01", end_time="2099-01-02")
+        assert len(df) == 0
+
+    def test_range_plus_resample_compose(self, store_with_klines):
+        reader = TimeBarReader(store_with_klines)
+        full = reader.read(timeframe="5min")
+        if len(full) >= 3:
+            start = full.index[1]
+            part = reader.read(start_time=start, timeframe="5min")
+            np.testing.assert_allclose(part["close"],
+                                       full.loc[start:, "close"],
+                                       rtol=1e-12)
