@@ -25,9 +25,40 @@ multi-symbol labeling) report to stderr and BENCH_EXTRA.json.
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+# --- tunnel-wedge watchdog --------------------------------------------------
+# The axon transport occasionally wedges a freshly-started client: the
+# device_put reports instantly but the first real dispatch then blocks
+# forever (a parallel fresh process works fine). If the early stages make
+# no progress for WATCHDOG_S seconds, re-exec the process (max 2 retries).
+_WATCHDOG_S = float(os.environ.get("FMKT_BENCH_WATCHDOG_S", "300"))
+_RETRIES = int(os.environ.get("FMKT_BENCH_RETRY", "0"))
+_progress = {"t": time.time(), "armed": True}
+
+
+def _touch(msg=None):
+    _progress["t"] = time.time()
+    if msg:
+        print(msg, file=sys.stderr)
+
+
+def _watchdog():
+    while _progress["armed"]:
+        time.sleep(10)
+        if _progress["armed"] and time.time() - _progress["t"] > _WATCHDOG_S:
+            if _RETRIES >= 2:
+                print("# watchdog: stalled and out of retries; aborting",
+                      file=sys.stderr)
+                os._exit(3)
+            print(f"# watchdog: no progress for {_WATCHDOG_S:.0f}s "
+                  f"(wedged tunnel client?); re-exec attempt "
+                  f"{_RETRIES + 1}", file=sys.stderr)
+            os.environ["FMKT_BENCH_RETRY"] = str(_RETRIES + 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
 
 # Allow quick runs: bench.py [n_trades]
 N_TRADES = int(sys.argv[1]) if len(sys.argv) > 1 else 39_171_929
@@ -70,6 +101,8 @@ def main():
 
     extra = {}
     interp = jax.default_backend() != "tpu"  # CPU smoke runs use interpret
+    if not interp:
+        threading.Thread(target=_watchdog, daemon=True).start()
 
     t0 = time.time()
     ts, price, amount, side = synth_trades(N_TRADES)
@@ -77,6 +110,7 @@ def main():
     assert q is not None, "synthetic prices must quantize"
     print(f"# synth data: {N_TRADES:,} trades in {time.time()-t0:.1f}s "
           f"(tick={q.tick_size})", file=sys.stderr)
+    _touch()
 
     t0 = time.time()
     tsj = jax.device_put(jnp.asarray(ts))
@@ -86,6 +120,7 @@ def main():
     jax.block_until_ready((tsj, tkj, unj, sdj))
     print(f"# device_put: {time.time()-t0:.1f}s (untimed; one-time load)",
           file=sys.stderr)
+    _touch()
 
     # --- config 1: 1-min time bars, OHLCV + directional (headline) ---
     def index():
@@ -103,6 +138,7 @@ def main():
         tsj, 60.0, ts_first=int(ts[0]), ts_last_i=int(ts[-1]))[0])
     print(f"# index: {n_bars:,} bars, cold {t_index_cold:.1f}s "
           f"warm {t_index*1000:.1f}ms", file=sys.stderr)
+    _touch()
 
     amj = jax.device_put(jnp.asarray(amount))
 
@@ -165,6 +201,7 @@ def main():
     except Exception as e:
         print(f"# devmed variant failed ({type(e).__name__}: {e})",
               file=sys.stderr)
+    _touch()
     best = min(variants, key=variants.get)
     print("# e2e variants: " + ", ".join(
         f"{k} {v*1000:.1f}ms" for k, v in variants.items())
@@ -179,6 +216,7 @@ def main():
           f"(device {t_dev*1000:.1f}ms, host medians+readback+convert "
           f"{(t_products-t_dev)*1000:.1f}ms overlapped)", file=sys.stderr)
 
+    _progress["armed"] = False  # headline measured; extras are guarded
     t_e2e = t_index + t_products
     trades_per_sec = N_TRADES / t_e2e
     vs_baseline = trades_per_sec / REF_TRADES_PER_SEC

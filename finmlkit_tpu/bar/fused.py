@@ -224,44 +224,50 @@ def fused_packed_device(price_ticks, amount_units, ci, sides,
                              _n_rows(n) * 128, interpret)
 
 
-@partial(jax.jit, static_argnames=("n_pad", "n_bars", "interpret"))
-def _median_prep_jit(ci, amounts_f32, n_pad: int, n_bars: int,
-                     interpret: bool):
-    """bar ids (via ADD-scatter of bar opens — empty bars share an open
-    position but must still advance the id) + validity + padded amounts."""
+@partial(jax.jit, static_argnames=("n_pad", "interpret", "use_pallas"))
+def _median_select_whole_jit(ci, amounts_f32, n_pad: int, interpret: bool,
+                             use_pallas: bool):
+    """The ENTIRE radix median selection as one compiled program.
+
+    Eagerly the engine is ~25 separate op launches; through the remote
+    transport each launch costs tens of ms, adding up to seconds. One
+    program = one launch. (Fusing it into the big 24-plane scan program
+    regressed that program ~5x, so it stays a standalone jit.)
+    """
+    from ..ops.pallas_scan import _cumsum_2d
+    from ..ops.segment_select import segment_median_pair_select
+
     n = amounts_f32.shape[0]
+    n_bars = ci.shape[0] - 1
     pad = n_pad - n
     amounts_pad = jnp.concatenate(
         [amounts_f32, jnp.zeros((pad,), jnp.float32)]) if pad else amounts_f32
+    # ADD-scatter of bar opens: empty bars share an open position but
+    # must still advance the id (ops/segment.bar_ids_from_close_indices)
     marks = jnp.zeros((n_pad + 1,), jnp.int32).at[
         jnp.clip(ci[1:] + 1, 0, n_pad)].add(np.int32(1))[:n_pad]
     idx = jnp.arange(n_pad, dtype=ci.dtype)
     valid = (idx > ci[0]) & (idx <= ci[-1])
-    return amounts_pad, marks, valid
-
-
-def median_select_device(amounts_f32, ci, interpret: bool = False):
-    """Per-bar np.median brackets via the radix select engine.
-
-    Runs as its own short dispatch sequence (measured ~30 ms at 39M
-    trades) — embedding it inside the big fused program regressed the
-    whole program ~5x (XLA scheduling interaction between the 24-plane
-    scan and the select's Pallas fills), so it stays a separate stage.
-    """
-    from ..ops.pallas_scan import _runs_on_tpu, fast_cumsum
-    from ..ops.segment_select import segment_median_pair_select
-
-    n = int(amounts_f32.shape[0])
-    n_pad = _n_rows(n) * 128
-    n_bars = int(ci.shape[0]) - 1
-    amounts_pad, marks, valid = _median_prep_jit(
-        ci, amounts_f32, n_pad, n_bars, interpret)
-    bar_cum = fast_cumsum(marks, interpret=True if interpret else None)
+    if use_pallas and not interpret:
+        bar_cum = _cumsum_2d(marks.reshape(-1, 128),
+                             interpret=False).reshape(-1)
+    else:
+        bar_cum = jnp.cumsum(marks)
     bar_id = jnp.clip(bar_cum, 0, n_bars - 1).astype(jnp.int32)
-    use_pallas = interpret or _runs_on_tpu(amounts_pad)
     return segment_median_pair_select(
         amounts_pad, ci, bar_id, valid, n_pad=n_pad,
         interpret=interpret, use_pallas=use_pallas)
+
+
+def median_select_device(amounts_f32, ci, interpret: bool = False):
+    """Per-bar np.median brackets via the radix select engine (one jit)."""
+    from ..ops.pallas_scan import _runs_on_tpu
+
+    n = int(amounts_f32.shape[0])
+    n_pad = _n_rows(n) * 128
+    use_pallas = interpret or _runs_on_tpu(amounts_f32)
+    return _median_select_whole_jit(ci, amounts_f32, n_pad, interpret,
+                                    use_pallas)
 
 
 def _unpack_raw(packed, ci_host):
