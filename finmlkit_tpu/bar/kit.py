@@ -122,13 +122,13 @@ class BarBuilderBase(ABC):
             amounts_host = np.ascontiguousarray(
                 self.trades_df["amount"].values, dtype=np.float32)
             ci_host = np.asarray(self._ci_padded)
-            # packed 3-buffer readback + device radix medians when the
-            # host is weak (<= 4 cores the threaded native median loses
-            # to the ~30 ms on-device select); FMKT_MEDIANS=host|device
-            # overrides
-            med_env = os.environ.get("FMKT_MEDIANS", "auto")
-            dev_med = (med_env == "device" or
-                       (med_env == "auto" and (os.cpu_count() or 1) <= 4))
+            # packed 3-buffer readback; medians default to the threaded
+            # native host path overlapped with the device work (measured
+            # ~300 ms at 39M trades on a 2-core host vs ~2.6 s for the
+            # radix select on this chip — its per-(bar,byte) histogram
+            # scatters hit a slow XLA path when the bin table exceeds
+            # cache; see BENCH_NOTES.md). FMKT_MEDIANS=device opts in.
+            dev_med = os.environ.get("FMKT_MEDIANS", "host") == "device"
             self._fused_cache = fused_mod.bar_products_fused(
                 self._ticks, self._units, self._ci_padded, side,
                 tick_size=self._tick_size, amount_scale=self._amount_scale,

@@ -173,9 +173,14 @@ def segment_median_pair_select(amounts_f32, ci, bar_id, valid, *,
             pfill = bar_fill(prefix)
             active = valid & ((u >> (shift_cur + 8)) == pfill)
         byte = (u >> shift_cur) & np.int32(255)
-        flat = jnp.where(active, flatbase + byte, dump)
-        hist = jnp.zeros((dump + 1,), jnp.int32).at[flat].add(np.int32(1))
-        cum = _cum256_exact(hist[:dump].reshape(n_bars, 256))
+        # mask the VALUE, not the index: funneling ~39M inactive trades
+        # into one dump bin serializes the scatter's colliding updates
+        # (measured: seconds per round); with the index always spread
+        # across real bins, collisions stay bounded by segment sizes
+        flat = flatbase + byte
+        hist = jnp.zeros((dump,), jnp.int32).at[flat].add(
+            active.astype(jnp.int32))
+        cum = _cum256_exact(hist.reshape(n_bars, 256))
         bsel = jnp.sum((cum <= k[:, None]).astype(jnp.int32), axis=1)
         bsel = jnp.minimum(bsel, 255)
         cum_excl = jnp.concatenate(
@@ -188,13 +193,13 @@ def segment_median_pair_select(amounts_f32, ci, bar_id, valid, *,
     med_b = _from_pos31(prefix)
 
     # ---- lower middle: count/max of strictly-smaller values ----
+    # value-masked scatters for the same collision reason as above
     vfill = bar_fill(prefix)
     less = valid & (u < vfill)
-    bar_dump = jnp.where(less, bar32, n_bars)
-    cnt_less = jnp.zeros((n_bars + 1,), jnp.int32).at[
-        bar_dump].add(np.int32(1))[:n_bars]
-    max_less = jnp.full((n_bars + 1,), np.int32(-1), jnp.int32).at[
-        bar_dump].max(jnp.where(less, u, np.int32(-1)))[:n_bars]
+    cnt_less = jnp.zeros((n_bars,), jnp.int32).at[bar32].add(
+        less.astype(jnp.int32))
+    max_less = jnp.full((n_bars,), np.int32(-1), jnp.int32).at[bar32].max(
+        jnp.where(less, u, np.int32(-1)))
     med_a = jnp.where((cnt_less == k_lo + 1) & (max_less >= 0),
                       _from_pos31(max_less), med_b)
     return med_a, med_b
