@@ -2,28 +2,30 @@
 
 Replaces the two host-side ``np.median`` middles (reference:
 ``np.median`` per bar inside comp_bar_ohlcv,
-/root/reference/finmlkit/bar/base.py:341-346) with a 4-round radix
-histogram refinement over the float32 amounts — no global sort (a full
+/root/reference/finmlkit/bar/base.py:341-346) with a multi-round radix
+histogram refinement over the float32 amounts (default: 8 rounds of
+4 bits — the per-round histogram table must stay cache-resident, see
+``bits_per_round``) — no global sort (a full
 one-sort segment median measured 219 ms at 39M trades on this chip; the
 threaded native host path costs ~300 ms on a 2-core host and was the
 critical path of the fused product pipeline), no per-trade gathers
 (the slowest TPU primitive):
 
-Round r (r = 0..3) finds the next 8 bits of the upper-middle value's
+Each round finds the next radix digit of the upper-middle value's
 order-preserving bit pattern, per bar, simultaneously:
 
 1. broadcast each bar's current 8r-bit prefix to its trades with a
    segmented last-fill Pallas scan (streaming; bar-open marks reset);
 2. per-trade ``active = prefix(bits) == bar_prefix`` (elementwise);
-3. per-(bar, next-byte) counts via ONE int32 scatter-add over the flat
-   id ``bar_id * 256 + byte`` — the same scatter+prefix pattern the
-   time indexer uses at 39M trades;
-4. per-bar 256-bucket cumulative counts via two f32 triangular matmuls
+3. per-(bar, next-digit) counts via ONE int32 scatter-add over the
+   flat id ``bar_id * B + digit`` — the same scatter+prefix pattern
+   the time indexer uses at 39M trades;
+4. per-bar B-bucket cumulative counts via two f32 triangular matmuls
    on 12-bit digit planes (MXU; exact for < 2^31 trades per bar and
    avoids XLA cumsum's pathological compile on this TPU), pick the
    bucket containing the target rank, update prefix and rank.
 
-After 4 rounds the prefix IS the exact bit pattern of the c//2-th
+After the final round the prefix IS the exact bit pattern of the c//2-th
 smallest amount (numpy upper middle). One final streaming pass derives
 the lower middle: ``count_less`` and ``max_less`` per bar via
 scatter-add/scatter-max decide between the upper-middle value and the
@@ -110,13 +112,11 @@ def _from_pos31(key_i32):
         key_i32.astype(jnp.uint32), jnp.float32)
 
 
-def _cum256_exact(hist_i32):
-    """Per-row inclusive cumsum over 256 buckets, exact for row totals
+def _cum_small_exact(hist_i32, B: int):
+    """Per-row inclusive cumsum over B buckets, exact for row totals
     < 2^31: two f32 triangular matmuls on 12-bit digit planes (each
-    digit cumsum stays < 2^20 resp. 2^31/2^12 * 256 < 2^27 — inside
-    f32's exact-integer range)."""
-    tri = jnp.triu(jnp.ones((256, 256), jnp.float32))  # cum = hist @ tri? see below
-    # cum[j] = sum_{i <= j} hist[i]  ->  (hist @ M)[j] with M[i, j] = 1 for i <= j
+    digit cumsum stays inside f32's exact-integer range)."""
+    tri = jnp.triu(jnp.ones((B, B), jnp.float32))  # M[i, j] = 1 for i <= j
     hi = (hist_i32 >> 12).astype(jnp.float32)
     lo = (hist_i32 & 0xFFF).astype(jnp.float32)
     cum_hi = (hi @ tri).astype(jnp.int32)
@@ -126,7 +126,8 @@ def _cum256_exact(hist_i32):
 
 def segment_median_pair_select(amounts_f32, ci, bar_id, valid, *,
                                n_pad: int, interpret: bool = False,
-                               use_pallas: bool = True):
+                               use_pallas: bool = True,
+                               bits_per_round: int = 4):
     """Per-bar (lower, upper) median values — device radix selection.
 
     :param amounts_f32: (n_pad,) float32 strictly-positive amounts
@@ -134,6 +135,11 @@ def segment_median_pair_select(amounts_f32, ci, bar_id, valid, *,
     :param ci: (n_bars+1,) int64 close indices, reference convention.
     :param bar_id: (n_pad,) int32 bar id per trade (pad arbitrary).
     :param valid: (n_pad,) bool — trade inside some bar (False on pad).
+    :param bits_per_round: radix width. 4 keeps the per-round histogram
+        table at n_bars*16 bins (~3 MB at monthly bar counts — inside
+        the fast cache-resident scatter regime; the 8-bit variant's
+        47 MB table hits XLA's slow big-table scatter path, measured
+        ~600 ms per round at 39M trades).
     :returns: (med_a, med_b) float32 per bar; empty bars carry garbage
         (callers mask on trade count).
     """
@@ -159,36 +165,41 @@ def segment_median_pair_select(amounts_f32, ci, bar_id, valid, *,
             jnp.where(src, per_bar_vals_i32, 0))
         return _fill_last(scat, marks, n_pad, interpret, use_pallas)
 
-    dump = n_bars * 256
-    flatbase = bar32 * 256
+    B = 1 << bits_per_round
+    bmask = np.int32(B - 1)
+    dump = n_bars * B
+    flatbase = bar32 * B
     k = k_hi
     prefix = jnp.zeros((n_bars,), jnp.int32)
 
-    # 31 bits in rounds of 7 + 8 + 8 + 8
-    shifts = (24, 16, 8, 0)
+    # 31 bits, most-significant first: first round takes the remainder
+    n_rounds = -(-31 // bits_per_round)
+    shifts = tuple(31 - bits_per_round * (r + 1) for r in range(n_rounds - 1))
+    shifts = shifts + (0,)
+    prev_shift = 31
     for r, shift_cur in enumerate(shifts):
         if r == 0:
             active = valid
         else:
             pfill = bar_fill(prefix)
-            active = valid & ((u >> (shift_cur + 8)) == pfill)
-        byte = (u >> shift_cur) & np.int32(255)
-        # mask the VALUE, not the index: funneling ~39M inactive trades
-        # into one dump bin serializes the scatter's colliding updates
-        # (measured: seconds per round); with the index always spread
-        # across real bins, collisions stay bounded by segment sizes
-        flat = flatbase + byte
+            active = valid & ((u >> prev_shift) == pfill)
+        width = prev_shift - shift_cur
+        digit = (u >> shift_cur) & np.int32((1 << width) - 1)
+        # mask the VALUE, not the index, so inactive trades add 0 to a
+        # real bin instead of colliding on one dump bin
+        flat = flatbase + digit
         hist = jnp.zeros((dump,), jnp.int32).at[flat].add(
             active.astype(jnp.int32))
-        cum = _cum256_exact(hist.reshape(n_bars, 256))
+        cum = _cum_small_exact(hist.reshape(n_bars, B), B)
         bsel = jnp.sum((cum <= k[:, None]).astype(jnp.int32), axis=1)
-        bsel = jnp.minimum(bsel, 255)
+        bsel = jnp.minimum(bsel, B - 1)
         cum_excl = jnp.concatenate(
             [jnp.zeros((n_bars, 1), jnp.int32), cum[:, :-1]], axis=1)
         cum_before = jnp.take_along_axis(cum_excl, bsel[:, None],
                                          axis=1)[:, 0]
         k = k - cum_before
-        prefix = (prefix << 8) | bsel
+        prefix = (prefix << width) | bsel
+        prev_shift = shift_cur
 
     med_b = _from_pos31(prefix)
 

@@ -126,3 +126,25 @@ class TestMedianSelect:
         ne = np.diff(ci) > 0
         np.testing.assert_array_equal(ga[ne], ea[ne])
         np.testing.assert_array_equal(gb[ne], eb[ne])
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_radix_width_equivalence(bits):
+    r = np.random.default_rng(21)
+    n = 20000
+    amounts = np.maximum(np.round(r.lognormal(-3, 1.3, n), 4),
+                         1e-4).astype(np.float32)
+    closes = np.sort(r.choice(np.arange(1, n - 1), 120, replace=False))
+    ci = np.concatenate([[-1], closes, [n - 1]]).astype(np.int64)
+    pad = (-n) % (256 * 128)
+    n_pad = n + pad
+    ap = np.concatenate([amounts, np.zeros(pad, np.float32)])
+    bar_id, valid = _bar_ids(ci, n)
+    bid = np.concatenate([bar_id, np.zeros(pad, np.int32)])
+    vp = np.concatenate([valid, np.zeros(pad, bool)])
+    ea, eb = _expected(amounts, ci)
+    ga, gb = segment_median_pair_select(
+        jnp.asarray(ap), jnp.asarray(ci), jnp.asarray(bid), jnp.asarray(vp),
+        n_pad=n_pad, interpret=False, use_pallas=False, bits_per_round=bits)
+    np.testing.assert_array_equal(np.asarray(ga), ea)
+    np.testing.assert_array_equal(np.asarray(gb), eb)
