@@ -3,9 +3,8 @@
 Replaces the two host-side ``np.median`` middles (reference:
 ``np.median`` per bar inside comp_bar_ohlcv,
 /root/reference/finmlkit/bar/base.py:341-346) with a multi-round radix
-histogram refinement over the float32 amounts (default: 8 rounds of
-4 bits — the per-round histogram table must stay cache-resident, see
-``bits_per_round``) — no global sort (a full
+histogram refinement over the float32 amounts (default: 4 rounds of
+8 bits; see ``bits_per_round`` for the measured scatter cost model) — no global sort (a full
 one-sort segment median measured 219 ms at 39M trades on this chip; the
 threaded native host path costs ~300 ms on a 2-core host and was the
 critical path of the fused product pipeline), no per-trade gathers
@@ -127,7 +126,7 @@ def _cum_small_exact(hist_i32, B: int):
 def segment_median_pair_select(amounts_f32, ci, bar_id, valid, *,
                                n_pad: int, interpret: bool = False,
                                use_pallas: bool = True,
-                               bits_per_round: int = 4):
+                               bits_per_round: int = 8):
     """Per-bar (lower, upper) median values — device radix selection.
 
     :param amounts_f32: (n_pad,) float32 strictly-positive amounts
@@ -135,11 +134,13 @@ def segment_median_pair_select(amounts_f32, ci, bar_id, valid, *,
     :param ci: (n_bars+1,) int64 close indices, reference convention.
     :param bar_id: (n_pad,) int32 bar id per trade (pad arbitrary).
     :param valid: (n_pad,) bool — trade inside some bar (False on pad).
-    :param bits_per_round: radix width. 4 keeps the per-round histogram
-        table at n_bars*16 bins (~3 MB at monthly bar counts — inside
-        the fast cache-resident scatter regime; the 8-bit variant's
-        47 MB table hits XLA's slow big-table scatter path, measured
-        ~600 ms per round at 39M trades).
+    :param bits_per_round: radix width (default 8 -> 4 rounds).
+        Measured at 39M trades on this chip the per-round scatter-add
+        costs ~450-600 ms REGARDLESS of table size (8-bit/47MB table:
+        2.6 s total; 4-bit/3MB table: 3.6 s — more rounds, same
+        per-round scatter cost ~11 ns/update, i.e. XLA's serial
+        scatter path; the time indexer's fast scatter differs in
+        having constant updates on sorted indices). Fewer rounds win.
     :returns: (med_a, med_b) float32 per bar; empty bars carry garbage
         (callers mask on trade count).
     """
