@@ -51,6 +51,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_scan import ROWS, LANES, _scan2d, _c_last
 
+_DUMP_SPREAD = 1 << 20
+_DUMP_MASK = np.int32(_DUMP_SPREAD - 1)
+
 
 def _fill_last_kernel(v_ref, m_ref, o_ref, carry):
     """Segmented last-fill: out[j] = value at the latest mark <= j."""
@@ -167,7 +170,7 @@ def segment_median_pair_select(amounts_f32, ci, bar_id, valid, *,
         return _fill_last(scat, marks, n_pad, interpret, use_pallas)
 
     B = 1 << bits_per_round
-    bmask = np.int32(B - 1)
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
     dump = n_bars * B
     flatbase = bar32 * B
     k = k_hi
@@ -186,12 +189,16 @@ def segment_median_pair_select(amounts_f32, ci, bar_id, valid, *,
             active = valid & ((u >> prev_shift) == pfill)
         width = prev_shift - shift_cur
         digit = (u >> shift_cur) & np.int32((1 << width) - 1)
-        # mask the VALUE, not the index, so inactive trades add 0 to a
-        # real bin instead of colliding on one dump bin
-        flat = flatbase + digit
-        hist = jnp.zeros((dump,), jnp.int32).at[flat].add(
-            active.astype(jnp.int32))
-        cum = _cum_small_exact(hist.reshape(n_bars, B), B)
+        # CONSTANT-update scatter: XLA's fast scatter path needs the
+        # update to be a broadcast scalar (the time indexer's +1 form).
+        # Inactive trades go to a SPREAD dump region (one bin each mod
+        # 2^20) so they neither serialize on one bin nor perturb real
+        # counts; the dump region is sliced off before the cumsum.
+        flat = jnp.where(active, flatbase + digit,
+                         dump + (iota & _DUMP_MASK))
+        hist = jnp.zeros((dump + _DUMP_SPREAD,), jnp.int32).at[flat].add(
+            np.int32(1))
+        cum = _cum_small_exact(hist[:dump].reshape(n_bars, B), B)
         bsel = jnp.sum((cum <= k[:, None]).astype(jnp.int32), axis=1)
         bsel = jnp.minimum(bsel, B - 1)
         cum_excl = jnp.concatenate(
@@ -205,13 +212,14 @@ def segment_median_pair_select(amounts_f32, ci, bar_id, valid, *,
     med_b = _from_pos31(prefix)
 
     # ---- lower middle: count/max of strictly-smaller values ----
-    # value-masked scatters for the same collision reason as above
     vfill = bar_fill(prefix)
     less = valid & (u < vfill)
-    cnt_less = jnp.zeros((n_bars,), jnp.int32).at[bar32].add(
-        less.astype(jnp.int32))
-    max_less = jnp.full((n_bars,), np.int32(-1), jnp.int32).at[bar32].max(
-        jnp.where(less, u, np.int32(-1)))
+    less_idx = jnp.where(less, bar32, n_bars + (iota & _DUMP_MASK))
+    cnt_less = jnp.zeros((n_bars + _DUMP_SPREAD,), jnp.int32).at[
+        less_idx].add(np.int32(1))[:n_bars]
+    max_less = jnp.full((n_bars + _DUMP_SPREAD,), np.int32(-1),
+                        jnp.int32).at[less_idx].max(
+        jnp.where(less, u, np.int32(-1)))[:n_bars]
     med_a = jnp.where((cnt_less == k_lo + 1) & (max_less >= 0),
                       _from_pos31(max_less), med_b)
     return med_a, med_b
