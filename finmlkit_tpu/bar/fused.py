@@ -271,21 +271,18 @@ def median_select_device(amounts_f32, ci, interpret: bool = False):
 
 
 def _unpack_raw(packed, ci_host):
-    """Rebuild the 21-tuple raw layout (+ optional medians) from the
-    packed buffers. Returns (raw, med_or_None)."""
+    """Rebuild the 21-tuple raw layout from the packed buffers."""
     p64, p32, pf = [np.asarray(x) for x in packed]
     counts = np.diff(np.asarray(ci_host))
     vol_u, dollar_u, vol_buy_u, vol_sell_u, dol_buy_u, dol_sell_u = p64
     (open_raw, high_t, low_t, close_t, ticks_buy, ticks_sell,
      cum_spread_t, max_spread_t, ct_min, ct_max) = p32
-    cv_min, cv_max, cd_min, cd_max = pf[:4]
-    med = (pf[4], pf[5]) if pf.shape[0] >= 6 else None
-    raw = (open_raw, high_t, low_t, close_t, counts, vol_u, dollar_u,
-           vol_buy_u, vol_sell_u, dol_buy_u, dol_sell_u,
-           ticks_buy.astype(np.int64), ticks_sell.astype(np.int64),
-           cum_spread_t.astype(np.int64), max_spread_t,
-           ct_min, ct_max, cv_min, cv_max, cd_min, cd_max)
-    return raw, med
+    cv_min, cv_max, cd_min, cd_max = pf
+    return (open_raw, high_t, low_t, close_t, counts, vol_u, dollar_u,
+            vol_buy_u, vol_sell_u, dol_buy_u, dol_sell_u,
+            ticks_buy.astype(np.int64), ticks_sell.astype(np.int64),
+            cum_spread_t.astype(np.int64), max_spread_t,
+            ct_min, ct_max, cv_min, cv_max, cd_min, cd_max)
 
 
 def _convert_host(raw, med, tick_size, amount_scale):
@@ -477,7 +474,7 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
                                * amount_scale).astype(jnp.float32)
             med = _median_device(amounts_f32, ci, int(price_ticks.shape[0]))
     if packed:
-        raw, _ = _unpack_raw(bufs, ci_host if ci_host is not None else ci)
+        raw = _unpack_raw(bufs, ci_host if ci_host is not None else ci)
     else:
         raw = jax.device_get(bufs)
     med = (np.asarray(med[0]), np.asarray(med[1]))
