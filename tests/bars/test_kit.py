@@ -175,3 +175,27 @@ class TestH5RoundTrip(object):
         assert meta["record_count"] == len(td.data)
         summary = insp.get_integrity_summary()
         assert len(summary) == 1
+
+
+class TestNonQuantizableFallback:
+    def test_irrational_prices_use_staged_path(self):
+        # prices on no tick grid: quantization refuses, the kit must
+        # fall back to the staged f64 aggregation and stay correct
+        r = np.random.default_rng(5)
+        n = 4000
+        ts = 1_700_000_000_000_000_000 + np.cumsum(
+            (r.exponential(100.0, n) * 1e6).astype(np.int64))
+        px = 100.0 + np.cumsum(r.normal(0, 0.01, n))  # full f64 precision
+        amt = (r.random(n) + 0.01).astype(np.float32)
+        ids = np.arange(n, dtype=np.int64)
+        td = TradesData(ts, px, amt, ids, timestamp_unit="ns",
+                        preprocess=True)
+        kit = TimeBarKit(td, pd.Timedelta(minutes=5))
+        bars = kit.build_ohlcv()
+        assert kit._fused_mode() is None or kit._ticks is None
+        # pandas oracle over the same bar windows
+        df = td.data
+        g = df.groupby(df.index.floor("5min"))
+        got_vol = bars["volume"].sum()
+        np.testing.assert_allclose(got_vol, df["amount"].sum(), rtol=1e-5)
+        assert np.all(bars["high"].values >= bars["low"].values)
