@@ -3,6 +3,7 @@ reference's HDF5 index/where-clause suite
 (/root/reference/tests/bars/test_hdf5_index_and_filtering.py): time-range
 selects must hit only the overlapping monthly groups, respect inclusive
 boundaries, restore a DatetimeIndex, and error on empty ranges."""
+import h5py
 import numpy as np
 import pandas as pd
 import pytest
@@ -125,3 +126,54 @@ class TestWriterShim:
             assert "trades/2021-05" in f
             assert int(f["meta/2021-05"].attrs["record_count"]) == 10
             assert int(f["meta/2021-05"].attrs["first_timestamp"]) == int(ts[0])
+
+
+class TestLoadRobustness:
+    """Multiprocess loading, sequential fallback, skipped groups
+    (reference: data_model.py:689-732 — pool load with sequential
+    fallback on failure, per-group errors skip the group)."""
+
+    def test_multiprocess_load_matches_sequential(self, store):
+        seq = load_trades_h5(store)
+        par = load_trades_h5(store, enable_multiprocessing=True,
+                             max_workers=2)
+        pd.testing.assert_frame_equal(seq.data, par.data)
+
+    def test_corrupt_group_skipped(self, store, tmp_path, monkeypatch):
+        # one failing month must not sink the load: its group is skipped
+        from finmlkit_tpu.data import store as store_mod
+        orig = store_mod._load_single_group
+        bad_key = sorted_months = None
+
+        with h5py.File(store, "r") as f:
+            months = sorted(f["trades"].keys())
+        bad_key = months[0]
+
+        def flaky(path, key):
+            if key == bad_key:
+                raise OSError("synthetic corruption")
+            return orig(path, key)
+
+        monkeypatch.setattr(store_mod, "_load_single_group", flaky)
+        td = load_trades_h5(store)
+        with h5py.File(store, "r") as f:
+            good_len = sum(len(f[f"trades/{m}/timestamp"])
+                           for m in months if m != bad_key)
+        assert len(td.data) == good_len
+
+    def test_all_groups_failing_raises(self, store, monkeypatch):
+        from finmlkit_tpu.data import store as store_mod
+
+        def always_fail(path, key):
+            raise OSError("nope")
+
+        monkeypatch.setattr(store_mod, "_load_single_group", always_fail)
+        with pytest.raises(ValueError, match="All monthly group loads"):
+            load_trades_h5(store)
+
+    def test_missing_trades_root_raises(self, tmp_path):
+        p = str(tmp_path / "empty.h5")
+        with h5py.File(p, "w") as f:
+            f.create_group("other")
+        with pytest.raises(KeyError, match="trades"):
+            load_trades_h5(p)
