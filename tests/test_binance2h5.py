@@ -77,3 +77,45 @@ class TestPipeline:
     def test_month_range(self):
         assert list(binance2h5.month_range("2023-11", "2024-02")) == [
             "2023-11", "2023-12", "2024-01", "2024-02"]
+
+
+class TestWriterFailureContainment:
+    def test_writer_error_reraised_without_deadlock(self, trade_zip,
+                                                    tmp_path, monkeypatch):
+        """A failing H5 write must not deadlock the bounded queue: the
+        writer keeps draining, records the error, and process_all
+        re-raises after join (ADVICE round-2 finding)."""
+        zpath, _ = trade_zip
+
+        def boom(*a, **kw):
+            raise OSError("disk full (synthetic)")
+
+        from finmlkit_tpu.data import store as store_mod
+        monkeypatch.setattr(store_mod, "save_trades_h5", boom)
+        h5 = str(tmp_path / "out.h5")
+        with pytest.raises(OSError, match="disk full"):
+            # several months through a maxsize=2 queue exercises the
+            # drain-on-error path; workers=1 keeps it in-process
+            binance2h5.process_all(
+                [(zpath, "2023-11")] * 4, h5, workers=1)
+
+    def test_fail_fast_drains_without_writing(self, trade_zip, tmp_path,
+                                              monkeypatch):
+        # after the first failure the writer drains remaining months
+        # WITHOUT writing (fail-fast: a partial store would mask the
+        # error), and the producer never deadlocks on the bounded queue
+        zpath, _ = trade_zip
+        from finmlkit_tpu.data import store as store_mod
+        calls = {"n": 0}
+
+        def flaky(shim, path, month_key=None, **kw):
+            calls["n"] += 1
+            raise OSError("write fails")
+
+        monkeypatch.setattr(store_mod, "save_trades_h5", flaky)
+        h5 = str(tmp_path / "out.h5")
+        with pytest.raises(OSError):
+            binance2h5.process_all([(zpath, "2023-11")] * 3, h5, workers=1)
+        assert calls["n"] == 1  # later months drained, not retried
+        import os
+        assert not os.path.exists(h5)
