@@ -224,6 +224,249 @@ def fused_packed_device(price_ticks, amount_units, ci, sides,
                              _n_rows(n) * 128, interpret)
 
 
+# ---------------------------------------------------------------------------
+# Boundary-output pipeline (v2): per-row tail states + XLA boundary fixup
+# ---------------------------------------------------------------------------
+
+def _rowtail_init_row():
+    """Initial running state before the stream (lane layout in
+    ops.fused_scan.ROWTAIL_LANES): zero prefixes/bases, sentinel extrema."""
+    from ..ops.fused_scan import ROWTAIL_LANES as L
+    init = np.zeros(128, np.int32)
+    init[L["high"]] = _I32MIN
+    init[L["low"]] = _I32MAX
+    init[L["spmax"]] = _I32MIN
+    init[L["ctmin"]] = _I32MAX
+    init[L["ctmax"]] = _I32MIN
+    init[L["cvmin"]] = np.float32(_F32BIG).view(np.int32)
+    init[L["cvmax"]] = np.float32(-_F32BIG).view(np.int32)
+    init[L["cdmin"]] = np.float32(_F32BIG).view(np.int32)
+    init[L["cdmax"]] = np.float32(-_F32BIG).view(np.int32)
+    return init
+
+
+def _i64_to_f32_pairstyle(x):
+    """int64 -> float32 with the SAME double-rounding as the Pallas
+    kernel's _pair_to_f32 (hi*2^32 then + lo), for bit-identical rel
+    imbalance extrema between the v1 and v2 pipelines."""
+    hi = (x >> 32).astype(jnp.int32).astype(jnp.float32)
+    lo_i = x.astype(jnp.uint32).astype(jnp.int32)
+    lo_f = lo_i.astype(jnp.float32) + jnp.where(
+        lo_i < 0, jnp.float32(4294967296.0), jnp.float32(0.0))
+    return hi * jnp.float32(4294967296.0) + lo_f
+
+
+def _boundary_state(rowtail, planes_in, pos):
+    """Exact running scan state at positions ``pos`` (int32, (n_pos,)).
+
+    Reconstructs every quantity the full-plane kernel would have held at
+    position p as combine(rowtail[p>>7 - 1], masked reduction over the
+    gathered input row) — the same segmented/carry semantics as
+    ops.fused_scan._rowtail_kernel, in plain XLA on (n_pos, 128) tiles.
+    """
+    from ..ops.fused_scan import ROWTAIL_LANES as L
+
+    (ticks_p, ulo_p, uhi_p, dlo_p, dhi_p, side_p, flags_p, spread_p) = planes_in
+    r = (pos >> 7).astype(jnp.int32)
+    l = (pos & 127).astype(jnp.int32)
+    iota = jnp.arange(128, dtype=jnp.int32)[None, :]
+
+    S = rowtail[jnp.maximum(r - 1, 0)]
+    S = jnp.where((r == 0)[:, None],
+                  jnp.asarray(_rowtail_init_row())[None, :], S)
+
+    def srow(name):
+        return S[:, L[name]]
+
+    def spair(name):
+        return (srow(name + "_hi").astype(jnp.int64) << 32) | \
+            srow(name + "_lo").astype(jnp.uint32).astype(jnp.int64)
+
+    def sf32(name):
+        return jax.lax.bitcast_convert_type(srow(name), jnp.float32)
+
+    ticks = ticks_p[r]
+    side = side_p[r]
+    flags = flags_p[r]
+    spread = spread_p[r]
+    units = (uhi_p[r].astype(jnp.int64) << 32) | \
+        ulo_p[r].astype(jnp.uint32).astype(jnp.int64)
+    dollars = (dhi_p[r].astype(jnp.int64) << 32) | \
+        dlo_p[r].astype(jnp.uint32).astype(jnp.int64)
+
+    valid = (flags & 1) != 0
+    mark = (flags & 2) != 0
+    is_buy = side == 1
+    is_sell = side == -1
+    traded = valid & (side != 0)
+    le = iota <= l[:, None]
+    z64 = jnp.int64(0)
+    z32 = jnp.int32(0)
+
+    def psum64(mask, v):
+        return jnp.sum(jnp.where(mask & le, v, z64), axis=1)
+
+    def psum32(mask, v):
+        return jnp.sum(jnp.where(mask & le, v, z32), axis=1,
+                       dtype=jnp.int32)
+
+    st = {}
+    st["P_bu"] = spair("pbu") + psum64(is_buy, units)
+    st["P_su"] = spair("psu") + psum64(is_sell, units)
+    st["P_bd"] = spair("pbd") + psum64(is_buy, dollars)
+    st["P_sd"] = spair("psd") + psum64(is_sell, dollars)
+    st["P_tu"] = spair("ptu") + psum64(valid, units)
+    st["P_td"] = spair("ptd") + psum64(valid, dollars)
+    tbm = (is_buy & valid).astype(jnp.int32)
+    tsm = (is_sell & valid).astype(jnp.int32)
+    st["P_tb"] = srow("ptb") + jnp.sum(jnp.where(le, tbm, z32), axis=1,
+                                       dtype=jnp.int32)
+    st["P_ts"] = srow("pts") + jnp.sum(jnp.where(le, tsm, z32), axis=1,
+                                       dtype=jnp.int32)
+    st["P_sp"] = srow("psp") + psum32(valid, spread)
+
+    # ---- segmented extrema: reset at the last bar-open mark <= l ----
+    mark_le = mark & le
+    any_mark = jnp.any(mark_le, axis=1)
+    lm = jnp.max(jnp.where(mark_le, iota, jnp.int32(-1)), axis=1)
+    seg = (iota >= jnp.maximum(lm, 0)[:, None]) & le
+
+    def seg_red(v, sentinel, s_name, is_max, f32=False):
+        vv = jnp.where(seg, v, sentinel)
+        red = (jnp.max if is_max else jnp.min)(vv, axis=1)
+        Sv = sf32(s_name) if f32 else srow(s_name)
+        comb = jnp.maximum if is_max else jnp.minimum
+        return jnp.where(any_mark, red, comb(Sv, red))
+
+    st["high"] = seg_red(jnp.where(valid, ticks, _I32MIN), _I32MIN,
+                         "high", True)
+    st["low"] = seg_red(jnp.where(valid, ticks, _I32MAX), _I32MAX,
+                        "low", False)
+    st["spmax"] = seg_red(jnp.where(valid, spread, jnp.int32(-1)),
+                          _I32MIN, "spmax", True)
+
+    # ---- in-bar running imbalances: per-lane prefixes via log-shifts
+    # (XLA's cumsum lowering compiles pathologically on this TPU) ----
+    def prefix128(x):
+        for s in (1, 2, 4, 8, 16, 32, 64):
+            x = x + jnp.where(iota >= s, jnp.roll(x, s, axis=1),
+                              jnp.zeros((), x.dtype))
+        return x
+
+    def at_lm(x):
+        return jnp.take_along_axis(
+            x, jnp.maximum(lm, 0)[:, None].astype(jnp.int32), axis=1)[:, 0]
+
+    def rel_extrema(contrib, s_base_pair, s_min, s_max, base_i64, f32):
+        lane = base_i64[:, None] + prefix128(contrib)
+        e_at = at_lm(lane) - at_lm(contrib)
+        base = jnp.where(any_mark, e_at, s_base_pair)
+        rel = lane - base[:, None]
+        if f32:
+            relv = _i64_to_f32_pairstyle(rel)
+            big, nbig = jnp.float32(_F32BIG), jnp.float32(-_F32BIG)
+            mn = seg_red(jnp.where(traded, relv, big), big, s_min,
+                         False, f32=True)
+            mx = seg_red(jnp.where(traded, relv, nbig), nbig, s_max,
+                         True, f32=True)
+        else:
+            mn = seg_red(jnp.where(traded, rel, _I32MAX), _I32MAX,
+                         s_min, False)
+            mx = seg_red(jnp.where(traded, rel, _I32MIN), _I32MIN,
+                         s_max, True)
+        return mn, mx
+
+    cvx = jnp.where(is_buy, units, z64) - jnp.where(is_sell, units, z64)
+    cdx = jnp.where(is_buy, dollars, z64) - jnp.where(is_sell, dollars, z64)
+    st["cvmin"], st["cvmax"] = rel_extrema(
+        cvx, spair("cvb"), "cvmin", "cvmax",
+        spair("pbu") - spair("psu"), f32=True)
+    st["cdmin"], st["cdmax"] = rel_extrema(
+        cdx, spair("cdb"), "cdmin", "cdmax",
+        spair("pbd") - spair("psd"), f32=True)
+    ctx = tbm - tsm
+    st["ctmin"], st["ctmax"] = rel_extrema(
+        ctx, srow("ctb"), "ctmin", "ctmax",
+        srow("ptb") - srow("pts"), f32=False)
+    return st
+
+
+@partial(jax.jit, static_argnames=("n_pad", "interpret"))
+def _fused_packed_v2_jit(price_ticks, amount_units, sides, ci, n_pad: int,
+                         interpret: bool):
+    """Boundary-output pipeline in ONE compiled program: prep -> per-row
+    tail scan (no full-plane materialization) -> boundary-state fixup at
+    the ~n_bars close positions -> packed 3-buffer readback.
+
+    Same output layout as ``_fused_packed_jit`` (consumed by
+    ``_unpack_raw``/``_convert_host``); ~24x less HBM write traffic in
+    the scan stage.
+    """
+    from ..ops.fused_scan import bar_scan_rowtails
+
+    planes_in = _prep_planes(price_ticks, amount_units, sides, ci, n_pad)
+    rowtail = bar_scan_rowtails(*planes_in, interpret=interpret)
+    ticks_plane = planes_in[0]
+    n_elems = ticks_plane.shape[0] * 128
+
+    e = jnp.clip(ci[1:], 0, n_elems - 1).astype(jnp.int32)
+    a_raw = ci[:-1]
+    a0 = jnp.clip(a_raw[0], 0, n_elems - 1).astype(jnp.int32)
+    pos = jnp.concatenate([e, a0[None]])
+    st = _boundary_state(rowtail, planes_in, pos)
+
+    amask = a_raw >= 0
+
+    def rsum64(name):
+        P = st[name]
+        Pe = P[:-1]
+        start = jnp.concatenate([P[-1][None], Pe[:-1]])
+        return Pe - jnp.where(amask, start, 0)
+
+    def rsum32(name):
+        P = st[name]
+        Pe = P[:-1]
+        start = jnp.concatenate([P[-1][None], Pe[:-1]])
+        # subtract in int32 BEFORE widening: the prefixes wrap mod 2^32
+        # by design (see ops/fused_scan.py precision notes)
+        return (Pe - jnp.where(amask, start, 0)).astype(jnp.int64)
+
+    vol_u = rsum64("P_tu")
+    dollar_u = rsum64("P_td")
+    vol_buy_u = rsum64("P_bu")
+    vol_sell_u = rsum64("P_su")
+    dol_buy_u = rsum64("P_bd")
+    dol_sell_u = rsum64("P_sd")
+    ticks_buy = rsum32("P_tb")
+    ticks_sell = rsum32("P_ts")
+    cum_spread_t = rsum32("P_sp")
+
+    close_t = _g(ticks_plane, e)
+    first_idx = jnp.clip(a_raw + 1, 0, n_elems - 1).astype(jnp.int32)
+    open_raw = _g(ticks_plane, first_idx)
+
+    packed_i64 = jnp.stack([vol_u, dollar_u, vol_buy_u, vol_sell_u,
+                            dol_buy_u, dol_sell_u])
+    packed_i32 = jnp.stack([open_raw, st["high"][:-1],
+                            st["low"][:-1], close_t,
+                            ticks_buy.astype(jnp.int32),
+                            ticks_sell.astype(jnp.int32),
+                            cum_spread_t.astype(jnp.int32),
+                            st["spmax"][:-1], st["ctmin"][:-1],
+                            st["ctmax"][:-1]])
+    packed_f32 = jnp.stack([st["cvmin"][:-1], st["cvmax"][:-1],
+                            st["cdmin"][:-1], st["cdmax"][:-1]])
+    return packed_i64, packed_i32, packed_f32
+
+
+def fused_packed_v2_device(price_ticks, amount_units, ci, sides,
+                           interpret: bool = False):
+    """Single-dispatch boundary-output fused products (v2 pipeline)."""
+    n = int(price_ticks.shape[0])
+    return _fused_packed_v2_jit(price_ticks, amount_units, sides, ci,
+                                _n_rows(n) * 128, interpret)
+
+
 @partial(jax.jit, static_argnames=("n_pad", "interpret", "use_pallas"))
 def _median_select_whole_jit(ci, amounts_f32, n_pad: int, interpret: bool,
                              use_pallas: bool):
@@ -268,6 +511,72 @@ def median_select_device(amounts_f32, ci, interpret: bool = False):
     use_pallas = interpret or _runs_on_tpu(amounts_f32)
     return _median_select_whole_jit(ci, amounts_f32, n_pad, interpret,
                                     use_pallas)
+
+
+@partial(jax.jit, static_argnames=("n_pad", "interpret", "use_pallas"))
+def _median_sort_whole_jit(ci, amounts_f32, n_pad: int, interpret: bool,
+                           use_pallas: bool):
+    """Per-bar np.median brackets via ONE global composite-key sort.
+
+    The default device median engine (round 4). Packs
+    ``(bar_id << 32) | order_bits(amount)`` into int64 and sorts once
+    (measured 219 ms warm at 39M keys on this chip — ~10x faster than
+    the threaded host ``nth_element`` on a slow driver host, and ~12x
+    faster than the radix-select engine whose big-table scatters hit
+    XLA's serial path; see BENCH_NOTES.md). Bars are contiguous trade
+    ranges, so after the sort bar *i*'s trades sit ascending at offset
+    ``ci[i] - ci[0]`` and the two middle values are two tiny gathers.
+
+    Runs as ONE compiled program: eagerly the chain is ~10 dispatches,
+    each costing tens of ms over the remote transport.
+    """
+    from ..ops.pallas_scan import _cumsum_2d
+    from ..ops.segment import (_f32_from_sortable_bits, _f32_sortable_bits,
+                               segment_median_pair)
+
+    n = amounts_f32.shape[0]
+    n_bars = ci.shape[0] - 1
+    pad = n_pad - n
+    amounts_pad = jnp.concatenate(
+        [amounts_f32, jnp.zeros((pad,), jnp.float32)]) if pad else amounts_f32
+    # ADD-scatter of bar opens (empty bars share an open position but
+    # must still advance the id), then a Pallas prefix sum — XLA's own
+    # cumsum lowering compiles pathologically on this TPU
+    marks = jnp.zeros((n_pad + 1,), jnp.int32).at[
+        jnp.clip(ci[1:] + 1, 0, n_pad)].add(np.int32(1))[:n_pad]
+    if use_pallas and not interpret:
+        bar_cum = _cumsum_2d(marks.reshape(-1, 128),
+                             interpret=False).reshape(-1)
+    else:
+        bar_cum = jnp.cumsum(marks)
+    bar_id = jnp.clip(bar_cum, 0, n_bars - 1)
+    idx = jnp.arange(n_pad, dtype=ci.dtype)
+    valid = (idx > ci[0]) & (idx <= ci[-1])
+    bid = jnp.where(valid, bar_id, jnp.int32(n_bars)).astype(jnp.uint64)
+    key = (bid << 32) | _f32_sortable_bits(amounts_pad).astype(jnp.uint64)
+    skey = jnp.sort(key.astype(jnp.int64)).astype(jnp.uint64)
+    svals = _f32_from_sortable_bits(
+        (skey & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
+    offsets = ci[:-1] - ci[0]
+    counts = jnp.diff(ci)
+    return segment_median_pair(svals, offsets, counts)
+
+
+def median_sort_device(amounts_f32, ci, interpret: bool = False):
+    """Per-bar np.median brackets via the one-sort engine (one jit).
+
+    The DEFAULT median engine: host-independent, exact (same brackets as
+    np.median), ~220 ms at 39M trades on this chip. ``median_select_device``
+    (radix select) and the native host path remain as explicitly-selected
+    fallbacks — see ``bar_products_fused``.
+    """
+    from ..ops.pallas_scan import _runs_on_tpu
+
+    n = int(amounts_f32.shape[0])
+    n_pad = _n_rows(n) * 128
+    use_pallas = interpret or _runs_on_tpu(amounts_f32)
+    return _median_sort_whole_jit(ci, amounts_f32, n_pad, interpret,
+                                  use_pallas)
 
 
 def _unpack_raw(packed, ci_host):
@@ -426,53 +735,90 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
                        amounts_host=None, ci_host=None,
                        amounts_f32=None, interpret: bool = False,
                        one_dispatch: bool = False, packed: bool = False,
-                       device_medians: bool = False):
+                       device_medians: bool = False, medians: str = None,
+                       scan: str = "rowtail"):
     """Full fused OHLCV + directional bar products.
 
-    The device dispatch, the device->host readback DMA, and the
-    host-native median selection all run overlapped: the device program
-    is launched first, ``copy_to_host_async`` queues the readback behind
-    it, and the host medians compute while both drain. With
-    ``packed=True`` the device program additionally stacks the 21 per-bar
-    outputs into 3 buffers so the remote transport pays 3 round-trips
-    instead of 21 (the measured per-transfer overhead through the dev
-    tunnel dominates the byte cost at ~45k-bar sizes).
+    The device dispatch, the device->host readback DMA, and the median
+    selection all run overlapped: the device program is launched first,
+    ``copy_to_host_async`` queues the readback behind it, and the median
+    engine computes while both drain. With ``packed=True`` the device
+    program additionally stacks the 21 per-bar outputs into 3 buffers so
+    the remote transport pays 3 round-trips instead of 21 (the measured
+    per-transfer overhead through the dev tunnel dominates the byte cost
+    at ~45k-bar sizes).
+
+    Median engine dispatch (``medians``) — the single selection point:
+
+    - ``"sort"`` (DEFAULT): one-sort device engine
+      (:func:`median_sort_device`) — host-independent, ~220 ms at 39M
+      trades on this chip. The default because the host path's cost is
+      hostage to whatever machine runs the pipeline (measured 0.3 s on a
+      2-core dev host but 2.9 s on the round-3 driver host).
+    - ``"host"``: threaded native C++ ``nth_element``
+      (``native.seg_median_pair``), overlapped with the device readback.
+      Needs ``amounts_host``/``ci_host`` and a built native library;
+      falls back to ``"sort"`` otherwise. Worth selecting only on a
+      measured-fast many-core host.
+    - ``"select"``: radix-select engine (:func:`median_select_device`).
+      Quarantined: its per-(bar, byte) histogram scatter hits XLA's
+      serial path (~2.6 s at 39M); kept for A/B probes only.
 
     :param price_ticks: int32 device array of quantized prices.
     :param amount_units: int64 device array of quantized amounts.
     :param ci: int64 close indices (device), reference convention.
     :param sides: int8 device array of tick-rule signs.
-    :param amounts_host: float32 numpy amounts (enables the native
-        median path; falls back to a device sort when absent).
+    :param amounts_host: float32 numpy amounts (for ``medians="host"``).
     :param ci_host: int64 numpy close indices (with ``amounts_host``).
-    :param amounts_f32: float32 device amounts for the sort fallback.
+    :param amounts_f32: float32 device amounts for the device engines
+        (derived from ``amount_units`` when absent).
+    :param device_medians: legacy alias for ``medians="select"``.
+    :param scan: ``"rowtail"`` (DEFAULT, packed only) — boundary-output
+        pipeline: the Pallas scan emits per-row tail states (~24x less
+        HBM write traffic than the 24 full planes) and an XLA fixup
+        reconstructs the exact boundary values; ``"planes"`` — the
+        full-plane v1 pipeline.
     :returns: (ohlcv dict, directional dict) of host numpy arrays.
     """
-    if device_medians and amounts_f32 is None:
-        amounts_f32 = (amount_units.astype(jnp.float64)
-                       * amount_scale).astype(jnp.float32)
+    if medians is None:
+        medians = "select" if device_medians else "sort"
+    if medians == "host" and (amounts_host is None or ci_host is None
+                              or not native.available()):
+        medians = "sort"
+    if medians != "host" and amounts_f32 is None:
+        if amounts_host is not None:
+            # pad to the device stream length (trailing pads are outside
+            # every bar range and ignored by the engines)
+            pad = int(price_ticks.shape[0]) - len(amounts_host)
+            amounts_f32 = jnp.asarray(np.concatenate(
+                [amounts_host, np.zeros(pad, np.float32)]) if pad > 0
+                else amounts_host[:price_ticks.shape[0]])
+        else:
+            # exact f32 reconstruction needs f64 — pathological COMPILE
+            # on this TPU (minutes; BENCH_NOTES.md), so prefer passing
+            # amounts_f32/amounts_host. One-time cost when hit; cached.
+            amounts_f32 = (amount_units.astype(jnp.float64)
+                           * amount_scale).astype(jnp.float32)
     if packed:
-        bufs = fused_packed_device(price_ticks, amount_units, ci, sides,
-                                   interpret=interpret)
+        dev = (fused_packed_v2_device if scan == "rowtail"
+               else fused_packed_device)
+        bufs = dev(price_ticks, amount_units, ci, sides,
+                   interpret=interpret)
     else:
         dev = fused_raw_device_onejit if one_dispatch else fused_raw_device
         bufs = dev(price_ticks, amount_units, ci, sides, interpret=interpret)
-    med = None
-    if device_medians:
-        # radix select as its own short dispatch sequence; queued behind
-        # the main program, read back with the packed buffers
-        med_dev = median_select_device(amounts_f32, ci, interpret=interpret)
-        _start_host_copies(tuple(bufs) + tuple(med_dev))
-        med = med_dev
-    else:
+    if medians == "host":
         _start_host_copies(bufs)
-        if amounts_host is not None and ci_host is not None:
-            med = native.seg_median_pair(amounts_host, ci_host)
-        if med is None:
-            if amounts_f32 is None:
-                amounts_f32 = (amount_units.astype(jnp.float64)
-                               * amount_scale).astype(jnp.float32)
-            med = _median_device(amounts_f32, ci, int(price_ticks.shape[0]))
+        med = native.seg_median_pair(amounts_host, ci_host)
+        if med is None:  # host library raced away; device fallback
+            med = median_sort_device(amounts_f32, ci, interpret=interpret)
+    else:
+        # device engine as its own short dispatch sequence; queued behind
+        # the main program, read back with the packed buffers
+        engine = (median_select_device if medians == "select"
+                  else median_sort_device)
+        med = engine(amounts_f32, ci, interpret=interpret)
+        _start_host_copies(tuple(bufs) + tuple(med))
     if packed:
         raw = _unpack_raw(bufs, ci_host if ci_host is not None else ci)
     else:

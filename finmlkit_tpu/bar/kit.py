@@ -101,6 +101,22 @@ class BarBuilderBase(ABC):
         self._fused_cache = None
 
     # ------------------------------------------------------------------
+    def _indexer_backend(self) -> str:
+        """Boundary-scan dispatch: device closed-form/jump kernels vs the
+        native host loops.
+
+        On a TPU the device indexers win by orders of magnitude when the
+        host is slow (round-3 driver: dollar host scan 14.9 s vs 194 ms
+        for the device closed-form path right next to it), and the
+        quantized engines are integer-exact. Off-TPU the host loops win.
+        ``FMKT_INDEXER`` overrides: "device" | "host" | "auto" (default).
+        """
+        mode = os.environ.get("FMKT_INDEXER", "auto")
+        if mode in ("host", "device"):
+            return mode
+        return "device" if _runs_on_tpu(self._ts) else "host"
+
+    # ------------------------------------------------------------------
     def _fused_mode(self) -> Optional[str]:
         """Dispatch decision for the fused single-pass pipeline."""
         mode = os.environ.get("FMKT_FUSED", "auto")
@@ -122,18 +138,21 @@ class BarBuilderBase(ABC):
             amounts_host = np.ascontiguousarray(
                 self.trades_df["amount"].values, dtype=np.float32)
             ci_host = np.asarray(self._ci_padded)
-            # packed 3-buffer readback; medians default to the threaded
-            # native host path overlapped with the device work (measured
-            # ~300 ms at 39M trades on a 2-core host vs ~2.6 s for the
-            # radix select on this chip — its per-(bar,byte) histogram
-            # scatters hit a slow XLA path when the bin table exceeds
-            # cache; see BENCH_NOTES.md). FMKT_MEDIANS=device opts in.
-            dev_med = os.environ.get("FMKT_MEDIANS", "host") == "device"
+            # packed 3-buffer readback; medians default to the one-sort
+            # device engine — host-independent (the native nth_element
+            # path measured 0.3 s on a fast 2-core host but 2.9 s on the
+            # round-3 driver host; the device sort is ~220 ms at 39M
+            # trades regardless of host). FMKT_MEDIANS selects:
+            # "sort" (default) | "host" | "select" (quarantined probe).
+            medians = os.environ.get("FMKT_MEDIANS", "sort")
+            if medians == "device":  # legacy alias from round 3
+                medians = "select"
             self._fused_cache = fused_mod.bar_products_fused(
                 self._ticks, self._units, self._ci_padded, side,
                 tick_size=self._tick_size, amount_scale=self._amount_scale,
                 amounts_host=amounts_host, ci_host=ci_host,
-                packed=True, device_medians=dev_med,
+                amounts_f32=self._amt, packed=True, medians=medians,
+                scan=os.environ.get("FMKT_SCAN", "rowtail"),
                 interpret=(mode == "interpret"))
         return self._fused_cache
 
@@ -341,11 +360,12 @@ class VolumeBarKit(BarBuilderBase):
         self.volume_ths = volume_ths
 
     def _comp_bar_close(self):
-        host = indexers.volume_bar_indexer_host(
-            self.trades_df["timestamp"].values,
-            self.trades_df["amount"].values, self.volume_ths)
-        if host is not None:
-            return host
+        if self._indexer_backend() == "host":
+            host = indexers.volume_bar_indexer_host(
+                self.trades_df["timestamp"].values,
+                self.trades_df["amount"].values, self.volume_ths)
+            if host is not None:
+                return host
         ts = self._ts[: self._n_trades]
         if self._units is not None:
             return indexers.volume_bar_indexer_q(
@@ -363,12 +383,13 @@ class DollarBarKit(BarBuilderBase):
         self.dollar_thrs = dollar_thrs
 
     def _comp_bar_close(self):
-        host = indexers.dollar_bar_indexer_host(
-            self.trades_df["timestamp"].values,
-            self.trades_df["price"].values,
-            self.trades_df["amount"].values, self.dollar_thrs)
-        if host is not None:
-            return host
+        if self._indexer_backend() == "host":
+            host = indexers.dollar_bar_indexer_host(
+                self.trades_df["timestamp"].values,
+                self.trades_df["price"].values,
+                self.trades_df["amount"].values, self.dollar_thrs)
+            if host is not None:
+                return host
         ts = self._ts[: self._n_trades]
         if self._units is not None:
             return indexers.dollar_bar_indexer_q(
@@ -452,14 +473,19 @@ class CUSUMBarKit(BarBuilderBase):
 
     def _comp_bar_close(self):
         import jax
-        host = indexers.cusum_bar_indexer_host(
-            self.trades_df["timestamp"].values,
-            self.trades_df["price"].values, self._sigma,
-            self.sigma_floor, self.lambda_mult)
-        if host is not None:
-            close_ts, ci, filled = host
-            self._sigma = filled
-            return close_ts, ci
+        # CUSUM keeps host-first under "auto": its adaptive thresholds are
+        # f64-sequential in the reference and the TPU tier runs f32 —
+        # boundary decisions are discrete, so exactness wins by default.
+        # FMKT_INDEXER=device forces the device event-jump scan.
+        if os.environ.get("FMKT_INDEXER", "auto") != "device":
+            host = indexers.cusum_bar_indexer_host(
+                self.trades_df["timestamp"].values,
+                self.trades_df["price"].values, self._sigma,
+                self.sigma_floor, self.lambda_mult)
+            if host is not None:
+                close_ts, ci, filled = host
+                self._sigma = filled
+                return close_ts, ci
         ts = self._ts[: self._n_trades]
         px = self._px[: self._n_trades]
         dtype = "float32" if jax.default_backend() == "tpu" else None

@@ -93,6 +93,11 @@ def lib():
         return _LIB
 
 
+def available() -> bool:
+    """True when the native library is built (or buildable) and loaded."""
+    return lib() is not None
+
+
 def _ptr(a, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
 

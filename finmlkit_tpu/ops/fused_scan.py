@@ -320,6 +320,197 @@ def _bar_scan_kernel(ticks_ref, ulo_ref, uhi_ref, dlo_ref, dhi_ref,
     seg_max_i32(jnp.where(traded, rel_ct, _I32MIN), _S_CTMAX, r_ctmax)
 
 
+# ---------------------------------------------------------------------------
+# Boundary-output variant: per-ROW tail states instead of full planes
+# ---------------------------------------------------------------------------
+#
+# The full-plane kernel above writes 24 planes (~3.7 GB at monthly trade
+# counts) that downstream consumers gather at only ~n_bars boundary
+# positions. This variant runs the SAME in-block scans but emits one
+# (n_rows, 128) int32 plane holding, for every 128-lane row, the running
+# value of each quantity at the row's END (lane 127) — 24x less HBM
+# write traffic. A small XLA fixup (bar/fused.py:_boundary_state) then
+# reconstructs the exact value at any position p from rowtail[p>>7 - 1]
+# plus a masked reduction over the gathered input row — no full-plane
+# materialization anywhere.
+#
+# Output lane layout (ROWTAIL_* constants): 12 pair-prefix words, 3 int32
+# prefixes, 5 int32 segmented extrema, 4 float32 segmented extrema
+# (bitcast to int32), 5 last-fill base words. Lanes 29..127 are zero.
+
+ROWTAIL_LANES = {
+    "pbu_hi": 0, "pbu_lo": 1, "psu_hi": 2, "psu_lo": 3,
+    "pbd_hi": 4, "pbd_lo": 5, "psd_hi": 6, "psd_lo": 7,
+    "ptu_hi": 8, "ptu_lo": 9, "ptd_hi": 10, "ptd_lo": 11,
+    "ptb": 12, "pts": 13, "psp": 14,
+    "high": 15, "low": 16, "spmax": 17, "ctmin": 18, "ctmax": 19,
+    "cvmin": 20, "cvmax": 21, "cdmin": 22, "cdmax": 23,
+    "cvb_hi": 24, "cvb_lo": 25, "cdb_hi": 26, "cdb_lo": 27, "ctb": 28,
+}
+N_ROWTAIL = 29
+
+
+def _rowtail_kernel(ticks_ref, ulo_ref, uhi_ref, dlo_ref, dhi_ref,
+                    side_ref, flags_ref, spread_ref, out_ref, ci32, cf32):
+    i = pl.program_id(0)
+    first = i == 0
+    z = jnp.zeros((), jnp.int32)
+    last = (ROWS - 1, LANES - 1)
+
+    ticks = ticks_ref[...]
+    ulo = ulo_ref[...]
+    uhi = uhi_ref[...]
+    dlo = dlo_ref[...]
+    dhi = dhi_ref[...]
+    side = side_ref[...]
+    flags = flags_ref[...]
+    spread = spread_ref[...]
+
+    valid = (flags & 1) != 0
+    mark = (flags & 2) != 0
+    mark32 = mark.astype(jnp.int32)
+    is_buy = side == 1
+    is_sell = side == -1
+
+    cols = [None] * N_ROWTAIL
+
+    def c32(k):
+        return jnp.where(first, z, ci32[0, k])
+
+    def tail(y):
+        return y[:, LANES - 1:LANES]
+
+    # ---- plain prefix sums: (hi, lo) int64 pairs -------------------------
+    def pair_prefix(mask, hi_v, lo_v, slot, name):
+        hi_in = jnp.where(mask, hi_v, z)
+        lo_in = jnp.where(mask, lo_v, z)
+        hi_s, lo_s = _scan2d((hi_in, lo_in), _c_sum_pair)
+        chi, clo = c32(slot), c32(slot + 1)
+        lo_f = lo_s + clo
+        ovf = ((lo_f + _BIAS) < (lo_s + _BIAS)).astype(jnp.int32)
+        hi_f = hi_s + chi + ovf
+        cols[ROWTAIL_LANES[name + "_hi"]] = tail(hi_f)
+        cols[ROWTAIL_LANES[name + "_lo"]] = tail(lo_f)
+        ci32[0, slot] = hi_f[last]
+        ci32[0, slot + 1] = lo_f[last]
+        return hi_f, lo_f, hi_in, lo_in
+
+    buh, bul, buxh, buxl = pair_prefix(is_buy, uhi, ulo, _S_PAIRS + 0, "pbu")
+    suh, sul, suxh, suxl = pair_prefix(is_sell, uhi, ulo, _S_PAIRS + 2, "psu")
+    bdh, bdl, bdxh, bdxl = pair_prefix(is_buy, dhi, dlo, _S_PAIRS + 4, "pbd")
+    sdh, sdl, sdxh, sdxl = pair_prefix(is_sell, dhi, dlo, _S_PAIRS + 6, "psd")
+    pair_prefix(valid, uhi, ulo, _S_PAIRS + 8, "ptu")
+    pair_prefix(valid, dhi, dlo, _S_PAIRS + 10, "ptd")
+
+    # ---- plain int32 prefix sums -----------------------------------------
+    def i32_prefix(v, slot, name):
+        (s,) = _scan2d((v,), _c_sum)
+        s = s + c32(slot)
+        cols[ROWTAIL_LANES[name]] = tail(s)
+        ci32[0, slot] = s[last]
+        return s
+
+    tbm = (is_buy & valid).astype(jnp.int32)
+    tsm = (is_sell & valid).astype(jnp.int32)
+    tb = i32_prefix(tbm, _S_TB, "ptb")
+    ts_ = i32_prefix(tsm, _S_TS, "pts")
+    i32_prefix(jnp.where(valid, spread, z), _S_SP, "psp")
+
+    (seen,) = _scan2d((mark32,), _c_or)
+    seen_b = seen != 0
+
+    # ---- segmented extrema (reset at bar-open marks) ----------------------
+    def seg_i32(v, slot, name, is_max):
+        m, _ = _scan2d((v, mark32), _c_seg_max if is_max else _c_seg_min)
+        init = _I32MIN if is_max else _I32MAX
+        carry = jnp.where(first, init, ci32[0, slot])
+        comb = jnp.maximum if is_max else jnp.minimum
+        m_f = jnp.where(seen_b, m, comb(m, carry))
+        cols[ROWTAIL_LANES[name]] = tail(m_f)
+        ci32[0, slot] = m_f[last]
+
+    def seg_f32(v, slot_f, name, is_max):
+        m, _ = _scan2d((v, mark32), _c_seg_max if is_max else _c_seg_min)
+        init = -_F32BIG if is_max else _F32BIG
+        carry = jnp.where(first, init, cf32[0, slot_f])
+        comb = jnp.maximum if is_max else jnp.minimum
+        m_f = jnp.where(seen_b, m, comb(m, carry))
+        cols[ROWTAIL_LANES[name]] = jax.lax.bitcast_convert_type(
+            tail(m_f), jnp.int32)
+        cf32[0, slot_f] = m_f[last]
+
+    seg_i32(jnp.where(valid, ticks, _I32MIN), _S_HIGH, "high", True)
+    seg_i32(jnp.where(valid, ticks, _I32MAX), _S_LOW, "low", False)
+    seg_i32(jnp.where(valid, spread, np.int32(-1)), _S_SPMAX, "spmax", True)
+
+    # in-bar running cum imbalances: base = exclusive prefix at the last
+    # bar-open mark (last-fill), rel = prefix - base
+    def bar_base_pair(hi_s, lo_s, x_hi, x_lo, slot, name):
+        ehi, elo = _pair_sub(hi_s, lo_s, x_hi, x_lo)
+        bhi, blo, _ = _scan2d(
+            (jnp.where(mark, ehi, z), jnp.where(mark, elo, z), mark32),
+            _c_last_pair)
+        bhi = jnp.where(seen_b, bhi, c32(slot))
+        blo = jnp.where(seen_b, blo, c32(slot + 1))
+        cols[ROWTAIL_LANES[name + "_hi"]] = tail(bhi)
+        cols[ROWTAIL_LANES[name + "_lo"]] = tail(blo)
+        ci32[0, slot] = bhi[last]
+        ci32[0, slot + 1] = blo[last]
+        return bhi, blo
+
+    cv_hi, cv_lo = _pair_sub(buh, bul, suh, sul)
+    cd_hi, cd_lo = _pair_sub(bdh, bdl, sdh, sdl)
+    xu_hi, xu_lo = _pair_sub(buxh, buxl, suxh, suxl)
+    xd_hi, xd_lo = _pair_sub(bdxh, bdxl, sdxh, sdxl)
+
+    cvb_hi, cvb_lo = bar_base_pair(cv_hi, cv_lo, xu_hi, xu_lo, _S_CVB, "cvb")
+    cdb_hi, cdb_lo = bar_base_pair(cd_hi, cd_lo, xd_hi, xd_lo, _S_CDB, "cdb")
+
+    rel_cv = _pair_to_f32(*_pair_sub(cv_hi, cv_lo, cvb_hi, cvb_lo))
+    rel_cd = _pair_to_f32(*_pair_sub(cd_hi, cd_lo, cdb_hi, cdb_lo))
+    traded = valid & (side != 0)
+    seg_f32(jnp.where(traded, rel_cv, _F32BIG), _SF_CVMIN, "cvmin", False)
+    seg_f32(jnp.where(traded, rel_cv, -_F32BIG), _SF_CVMAX, "cvmax", True)
+    seg_f32(jnp.where(traded, rel_cd, _F32BIG), _SF_CDMIN, "cdmin", False)
+    seg_f32(jnp.where(traded, rel_cd, -_F32BIG), _SF_CDMAX, "cdmax", True)
+
+    ct = tb - ts_
+    e_ct = ct - (tbm - tsm)
+    ctb, _ = _scan2d((jnp.where(mark, e_ct, z), mark32), _c_last)
+    ctb = jnp.where(seen_b, ctb, c32(_S_CTB))
+    cols[ROWTAIL_LANES["ctb"]] = tail(ctb)
+    ci32[0, _S_CTB] = ctb[last]
+    rel_ct = ct - ctb
+    seg_i32(jnp.where(traded, rel_ct, _I32MAX), _S_CTMIN, "ctmin", False)
+    seg_i32(jnp.where(traded, rel_ct, _I32MIN), _S_CTMAX, "ctmax", True)
+
+    pad = jnp.zeros((ROWS, LANES - N_ROWTAIL), jnp.int32)
+    out_ref[...] = jnp.concatenate(cols + [pad], axis=1)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def bar_scan_rowtails(ticks, ulo, uhi, dlo, dhi, side, flags, spread,
+                      interpret: bool = False):
+    """Fused bar scan emitting per-row tail states only.
+
+    Returns one ``(n_rows, 128)`` int32 plane; lane layout in
+    ``ROWTAIL_LANES``. rows must be a multiple of ROWS (= 256).
+    """
+    n_rows = ticks.shape[0]
+    grid = (n_rows // ROWS,)
+    spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, np.int32(0)))
+    return pl.pallas_call(
+        _rowtail_kernel,
+        grid=grid,
+        in_specs=[spec] * 8,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(ticks.shape, jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1, _N_I32_SLOTS), jnp.int32),
+                        pltpu.SMEM((1, _N_F32_SLOTS), jnp.float32)],
+        interpret=interpret,
+    )(ticks, ulo, uhi, dlo, dhi, side, flags, spread)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def bar_scan_planes(ticks, ulo, uhi, dlo, dhi, side, flags, spread,
                     interpret: bool = False):

@@ -31,9 +31,11 @@ scatter-add/scatter-max decide between the upper-middle value and the
 largest strictly-smaller value (exact under duplicates).
 
 Positivity assumption: trade amounts are strictly positive (validated
-at ingestion), so their order-preserving bits always carry the top bit
-set and ``bits & 0x7FFFFFFF`` preserves order in nonnegative int32 —
-every scatter/fill below stays in nonnegative int32 space.
+at ingestion), and positive float32 values have the sign (top) bit
+CLEAR — their raw bit pattern is already a nonnegative int32 order key.
+The ``bits & 0x7FFFFFFF`` mask only documents/enforces that invariant
+(it is an order-preserving no-op for positive inputs), so every
+scatter/fill below stays in nonnegative int32 space.
 
 Scatter-source positions are masked to NON-EMPTY bars: empty bars share
 their open position with the following real bar (duplicate ``ci``), and
@@ -199,8 +201,13 @@ def segment_median_pair_select(amounts_f32, ci, bar_id, valid, *,
         hist = jnp.zeros((dump + _DUMP_SPREAD,), jnp.int32).at[flat].add(
             np.int32(1))
         cum = _cum_small_exact(hist[:dump].reshape(n_bars, B), B)
-        bsel = jnp.sum((cum <= k[:, None]).astype(jnp.int32), axis=1)
-        bsel = jnp.minimum(bsel, B - 1)
+        # keep the selection in int32: a plain jnp.sum promotes to int64
+        # under jax_enable_x64, dragging 64-bit arithmetic through the
+        # hot loop and scattering int64 into the int32 bar_fill buffer
+        # (FutureWarning today, hard error on future JAX)
+        bsel = jnp.sum((cum <= k[:, None]).astype(jnp.int32), axis=1,
+                       dtype=jnp.int32)
+        bsel = jnp.minimum(bsel, np.int32(B - 1))
         cum_excl = jnp.concatenate(
             [jnp.zeros((n_bars, 1), jnp.int32), cum[:, :-1]], axis=1)
         cum_before = jnp.take_along_axis(cum_excl, bsel[:, None],

@@ -157,3 +157,70 @@ class TestPackedVariant:
         for k in o1:
             np.testing.assert_array_equal(np.asarray(o1[k]),
                                           np.asarray(o2[k]), err_msg=k)
+
+    def test_median_engines_agree(self):
+        # the three median engines (one-sort device / native host /
+        # radix select) produce bit-identical brackets, incl. the empty
+        # bar and duplicate amounts
+        price, amount, side, q, ci = _mk(seed=21, n=5000, n_bars=60)
+        amount[::7] = amount[3]  # force duplicate ties
+        amt_j = jnp.asarray(amount)
+        ci_j = jnp.asarray(ci)
+        s_a, s_b = fused.median_sort_device(amt_j, ci_j, interpret=True)
+        r_a, r_b = fused.median_select_device(amt_j, ci_j, interpret=True)
+        # empty bars carry garbage in every engine (callers mask on the
+        # trade count) — compare non-empty bars only
+        ne = np.diff(ci) > 0
+        np.testing.assert_array_equal(np.asarray(s_a)[ne], np.asarray(r_a)[ne])
+        np.testing.assert_array_equal(np.asarray(s_b)[ne], np.asarray(r_b)[ne])
+        from finmlkit_tpu import native
+        host = native.seg_median_pair(amount, ci)
+        if host is not None:
+            np.testing.assert_array_equal(np.asarray(s_a)[ne], host[0][ne])
+            np.testing.assert_array_equal(np.asarray(s_b)[ne], host[1][ne])
+        # brackets average to np.median per bar
+        med = (np.asarray(s_a, np.float64) + np.asarray(s_b, np.float64)) / 2
+        for i in range(len(ci) - 1):
+            lo_i, hi_i = ci[i] + 1, ci[i + 1] + 1
+            if hi_i > lo_i and ne[i]:
+                assert med[i] == np.median(amount[lo_i:hi_i].astype(np.float64))
+
+    def test_medians_kwarg_dispatch(self):
+        # medians="host" without host arrays falls back to the sort engine
+        price, amount, side, q, ci = _mk(seed=22, n=2000, n_bars=25)
+        args = (jnp.asarray(q.price_ticks), jnp.asarray(q.amount_units),
+                jnp.asarray(ci), jnp.asarray(side))
+        kw = dict(tick_size=q.tick_size, amount_scale=q.amount_scale,
+                  interpret=True)
+        o_sort, _ = fused.bar_products_fused(*args, medians="sort", **kw)
+        o_fall, _ = fused.bar_products_fused(*args, medians="host", **kw)
+        np.testing.assert_array_equal(
+            np.asarray(o_sort["median_trade_size"]),
+            np.asarray(o_fall["median_trade_size"]))
+
+    def test_rowtail_matches_planes_exactly(self):
+        # boundary-output (v2) vs full-plane (v1) packed pipelines:
+        # bit-identical packed buffers, incl. empty bars and zero sides
+        price, amount, side, q, ci = _mk(seed=31, n=9000, n_bars=90)
+        args = (jnp.asarray(q.price_ticks), jnp.asarray(q.amount_units),
+                jnp.asarray(ci), jnp.asarray(side))
+        v1 = fused.fused_packed_device(*args, interpret=True)
+        v2 = fused.fused_packed_v2_device(*args, interpret=True)
+        for b1, b2, name in zip(v1, v2, ["i64", "i32", "f32"]):
+            np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2),
+                                          err_msg=name)
+
+    def test_rowtail_unaligned_first_bar(self):
+        # ci[0] >= 0 (open anchor inside the stream) exercises the
+        # a0 start-position path of the v2 fixup
+        price, amount, side, q, ci = _mk(seed=32, n=4000, n_bars=40)
+        ci = ci.copy()
+        ci[0] = 7  # anchor after trade 7
+        ci = np.unique(ci)
+        args = (jnp.asarray(q.price_ticks), jnp.asarray(q.amount_units),
+                jnp.asarray(ci), jnp.asarray(side))
+        v1 = fused.fused_packed_device(*args, interpret=True)
+        v2 = fused.fused_packed_v2_device(*args, interpret=True)
+        for b1, b2, name in zip(v1, v2, ["i64", "i32", "f32"]):
+            np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2),
+                                          err_msg=name)
