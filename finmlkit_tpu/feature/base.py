@@ -80,6 +80,11 @@ class CoreTransform(BaseTransform, ABC):
         return True
 
     def _get_timestamps(self, x: pd.DataFrame) -> np.ndarray:
+        # whole-graph tracing (feature/fuse.py) feeds a _TraceFrame whose
+        # timestamps are a traced int64 array
+        trace_ts = getattr(x, "trace_ts", None)
+        if trace_ts is not None:
+            return trace_ts
         self._check_datetime_index(x)
         # pandas >= 3.0 may store datetime64[us]; normalize to ns epoch
         return x.index.values.astype("datetime64[ns]").astype(np.int64)
@@ -121,6 +126,8 @@ class SISOTransform(CoreTransform, ABC):
         return f"{self.requires[0]}_{self.produces[0]}"
 
     def _prepare_output(self, idx, y) -> pd.Series:
+        if getattr(self, "_raw_out", False):  # whole-graph tracing
+            return y
         return pd.Series(_to_np(y), index=idx, name=self.output_name)
 
 
@@ -146,6 +153,8 @@ class MISOTransform(CoreTransform, ABC):
         return self.produces[0]
 
     def _prepare_output(self, idx, y) -> pd.Series:
+        if getattr(self, "_raw_out", False):  # whole-graph tracing
+            return y
         return pd.Series(_to_np(y), index=idx, name=self.output_name)
 
 
@@ -172,6 +181,8 @@ class SIMOTransform(CoreTransform, ABC):
     def _prepare_output(self, idx, y) -> tuple:
         if len(y) != len(self.produces):
             raise ValueError(f"Expected {len(self.produces)} outputs, got {len(y)}")
+        if getattr(self, "_raw_out", False):  # whole-graph tracing
+            return tuple(y)
         return tuple(pd.Series(_to_np(yi), index=idx, name=nm)
                      for yi, nm in zip(y, self.output_name))
 
@@ -200,6 +211,8 @@ class MIMOTransform(CoreTransform, ABC):
     def _prepare_output(self, idx, y) -> tuple:
         if len(y) != len(self.produces):
             raise ValueError(f"Expected {len(self.produces)} outputs, got {len(y)}")
+        if getattr(self, "_raw_out", False):  # whole-graph tracing
+            return tuple(y)
         return tuple(pd.Series(_to_np(yi), index=idx, name=nm)
                      for yi, nm in zip(y, self.output_name))
 

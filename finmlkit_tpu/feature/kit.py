@@ -300,11 +300,21 @@ class FeatureKit:
 
     # --- execution ----------------------------------------------------
     def build(self, df, *, backend="jax", timeit=False, order: str = "defined",
-              profile_dir: str = None):
+              profile_dir: str = None, fuse: bool = None):
         """Run all features; returns retained + computed columns.
 
         ``order="topo"`` executes in dependency order so features that
         consume other features' outputs hit the column cache.
+
+        ``fuse`` (default: on for the jax backend) compiles the whole
+        topo-ordered DAG into ONE jit program (feature/fuse.py) — one
+        device dispatch per build instead of one per transform, with XLA
+        CSE playing the role of the column cache. Host-only transforms
+        (calendar logic, pandas post-processing) run after the compiled
+        graph, reading its outputs from the cache. ``timeit=True`` and
+        ``profile_dir`` keep the per-feature path so the timing chart /
+        per-feature trace annotations stay meaningful; ``FMKT_FUSE=0``
+        disables fusion globally.
 
         ``profile_dir`` (or the ``FMKT_PROFILE_DIR`` env var) captures a
         ``jax.profiler`` device trace of the whole build, with one named
@@ -326,6 +336,17 @@ class FeatureKit:
             topo = self.topological_order()
             features_seq = [name2feat[n] for n in topo if n in name2feat]
             features_seq += [f for f in self.features if str(f.name) not in set(topo)]
+
+        if fuse is None:
+            fuse = (backend in ("jax", "nb") and not timeit
+                    and not profile_dir
+                    and _os.environ.get("FMKT_FUSE", "1") != "0")
+        if fuse:
+            try:
+                return self._build_fused(df, out, features_seq, backend)
+            except Exception as e:  # noqa: BLE001 — correctness first
+                logger.warning(f"fused graph build failed ({e!r}); "
+                               f"falling back to per-feature execution")
 
         if profile_dir:
             import jax
@@ -357,6 +378,51 @@ class FeatureKit:
             for name, t in ordered:
                 bar = "█" * (int(t / max_t * 50) if max_t > 0 else 0)
                 print(f"{name:<30} | {bar} {t:.4f}s")
+        return out
+
+    def _build_fused(self, df, out, features_seq, backend):
+        """One-dispatch whole-graph execution (see feature/fuse.py)."""
+        from .fuse import build_fused
+
+        def _names(t):
+            n = t.output_name
+            return [n] if isinstance(n, str) else list(n)
+
+        # columns already present in the input frame short-circuit the
+        # cache exactly like the per-feature path — keep them host-side
+        fuse_feats = [f for f in features_seq
+                      if not all(c in df.columns
+                                 for c in _names(f.transform))]
+        key = (tuple(id(f) for f in fuse_feats),
+               tuple(sorted((c, str(df[c].to_numpy().dtype))
+                            for c in df.columns)),
+               isinstance(df.index, pd.DatetimeIndex))
+        cached = getattr(self, "_fused_cache", None)
+        if cached is not None and cached[0] == key:
+            graph = cached[1]
+        else:
+            graph, _ = build_fused(fuse_feats, df)
+            self._fused_cache = (key, graph)
+            logger.info(f"fused feature graph: {len(graph.graph_feats)} "
+                        f"compiled + {len(graph.host_feats)} host of "
+                        f"{len(features_seq)} features")
+        ts_np = (df.index.values.astype("datetime64[ns]").astype(np.int64)
+                 if isinstance(df.index, pd.DatetimeIndex) else None)
+        results = graph.run(df, ts_np) if graph.graph_feats else {}
+        graph_ids = {id(f) for f in graph.graph_feats}
+        for feat in features_seq:
+            t = feat.transform
+            if id(feat) in graph_ids:
+                names = t.output_name
+                if isinstance(names, str):
+                    res = pd.Series(results[names], index=df.index,
+                                    name=names)
+                else:
+                    res = tuple(pd.Series(results[nm], index=df.index,
+                                          name=nm) for nm in names)
+            else:
+                res = feat(df, cache=df, backend=backend)
+            self._store_result(out, df, feat, res)
         return out
 
     @staticmethod

@@ -129,7 +129,10 @@ class TestFeatureKit:
         f = Feature(sma)
         product = f * 2
         kit = FeatureKit([f, product], retain=[])
-        kit.build(df, backend="jax")
+        # fuse=False: this asserts the PER-FEATURE executor's column-cache
+        # short-circuit (the fused path traces _jax during planning, so
+        # call counts measure tracing, not recomputation)
+        kit.build(df, backend="jax", fuse=False)
         assert calls["n"] == 1  # second feature reuses the cached column
 
     def test_graph(self, df):
