@@ -763,6 +763,11 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
     - ``"select"``: radix-select engine (:func:`median_select_device`).
       Quarantined: its per-(bar, byte) histogram scatter hits XLA's
       serial path (~2.6 s at 39M); kept for A/B probes only.
+    - ``"hist"``: Pallas block-histogram refinement
+      (ops/segment_hist.py). Exact and scatter-free, but measured
+      ~480 ms at 39M on this chip (compute-bound: 8 streaming passes
+      re-read the trade planes); kept as the A/B probe for hardware
+      where the VPU outruns XLA's sort.
 
     :param price_ticks: int32 device array of quantized prices.
     :param amount_units: int64 device array of quantized amounts.
@@ -815,8 +820,13 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
     else:
         # device engine as its own short dispatch sequence; queued behind
         # the main program, read back with the packed buffers
-        engine = (median_select_device if medians == "select"
-                  else median_sort_device)
+        if medians == "select":
+            engine = median_select_device
+        elif medians == "hist":
+            from ..ops.segment_hist import segment_median_pair_hist
+            engine = segment_median_pair_hist
+        else:
+            engine = median_sort_device
         med = engine(amounts_f32, ci, interpret=interpret)
         _start_host_copies(tuple(bufs) + tuple(med))
     if packed:
