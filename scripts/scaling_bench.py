@@ -92,15 +92,95 @@ def main():
     for nd in sizes:
         print(f"# scaling efficiency @ {nd} dev: {effs[nd]*100:.1f}%",
               file=sys.stderr)
+
+    # --- device-work + collective-byte analysis (VERDICT r3 #7) -------
+    # Wall-clock on the virtual CPU mesh is meaningless (N virtual
+    # devices share the host cores), so scaling is *predicted* from the
+    # compiled program itself: per-device FLOPs/bytes from XLA's cost
+    # model (should fall ~1/N for a scalable layout) and the exact
+    # collective inventory (bytes ~ n_bars, INDEPENDENT of n — the ICI
+    # term that bounds real-pod efficiency). Derivation in BENCH_NOTES.md.
+    import re
+    from functools import partial as _partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from finmlkit_tpu.parallel.sharded import _bar_partials
+
+    _BYTES = {"f64": 8, "f32": 4, "s64": 8, "u64": 8, "s32": 4, "u32": 4,
+              "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2}
+
+    def _collectives(hlo_text):
+        inv = {}
+        pat = re.compile(
+            r"(\w+)\[([\d,]*)\][^=]*\b"
+            r"(all-reduce|all-gather|collective-permute|reduce-scatter|"
+            r"all-to-all)\b")
+        for m in pat.finditer(hlo_text):
+            dt, dims, op = m.group(1), m.group(2), m.group(3)
+            nbytes = _BYTES.get(dt, 4)
+            for d in dims.split(","):
+                if d:
+                    nbytes *= int(d)
+            key = op
+            ent = inv.setdefault(key, {"count": 0, "bytes": 0})
+            ent["count"] += 1
+            ent["bytes"] += nbytes
+        return inv
+
+    analysis = {}
+    for nd in sizes:
+        mesh = time_mesh(devices=all_devices[:nd])
+        sharded = shard_trades(
+            {"price": price.astype(np.float64), "amount": amount,
+             "side": side}, mesh)
+        fn = shard_map(_partial(_bar_partials, axis_name="t"), mesh=mesh,
+                       in_specs=(P("t"), P("t"), P("t"), P(None)),
+                       out_specs=P(None), check_vma=False)
+        compiled = jax.jit(fn).lower(
+            sharded["price"], sharded["amount"], sharded["side"],
+            jnp.asarray(np.asarray(ci), jnp.int64)).compile()
+        ca = compiled.cost_analysis() or {}
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        entry = {
+            "flops_per_device": float(ca.get("flops", -1.0)),
+            "bytes_accessed_per_device": float(ca.get("bytes accessed",
+                                                      -1.0)),
+        }
+        try:
+            entry["collectives"] = _collectives(compiled.as_text())
+        except Exception as e:  # noqa: BLE001
+            entry["collectives"] = {"error": repr(e)}
+        analysis[str(nd)] = entry
+        print(f"# analysis @ {nd} dev: flops/dev={entry['flops_per_device']:.3e} "
+              f"bytes/dev={entry['bytes_accessed_per_device']:.3e} "
+              f"collectives={entry['collectives']}", file=sys.stderr)
+
+    f1 = analysis[str(sizes[0])]["flops_per_device"]
+    work_eff = {
+        nd: round(f1 / (nd * analysis[str(nd)]["flops_per_device"]), 3)
+        if analysis[str(nd)]["flops_per_device"] > 0 else None
+        for nd in sizes}
+    for nd in sizes:
+        print(f"# device-work efficiency @ {nd} dev: {work_eff[nd]}",
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": "sharded_bar_products_scaling",
         "environment": ("virtual-cpu-mesh structure validation"
                         if jax.default_backend() != "tpu" else "tpu"),
         "n_trades": n,
         "trades_per_sec": {str(k): round(v) for k, v in results.items()},
-        "efficiency": {str(k): round(v, 3) for k, v in effs.items()},
+        "efficiency_wallclock_virtual": {
+            str(k): round(v, 3) for k, v in effs.items()},
+        "efficiency_device_work": {str(k): v for k, v in work_eff.items()},
+        "per_device_analysis": analysis,
         "sharded_indexer_trades_per_sec": {
             str(k): round(v) for k, v in idx_results.items()},
+        "note": "virtual CPU devices share host cores: wall-clock "
+                "efficiency is NOT evidence; device-work efficiency and "
+                "the n-independent collective byte counts are the "
+                "pod-scaling predictors (see BENCH_NOTES.md)",
     }))
 
 
