@@ -24,119 +24,18 @@ import numpy as np
 import pandas as pd
 
 from ..utils.log import get_logger
+# canonical implementations live in bar/utils.py (the reference's
+# module home, /root/reference/finmlkit/bar/utils.py); re-exported
+# here for backward-compatible import paths
+from .utils import (  # noqa: F401
+    comp_price_tick_size,
+    comp_trade_side_vector,
+    merge_split_trades,
+)
 
 logger = get_logger(__name__)
 
 _UNIT_SCALE = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
-
-
-def comp_trade_side_vector(prices: np.ndarray) -> np.ndarray:
-    """Tick-rule trade side: sign of price change, carrying the previous
-    side through unchanged prices. Element 0 is 0 (no previous trade).
-
-    Parity: /root/reference/finmlkit/bar/utils.py:10-46.
-    """
-    n = len(prices)
-    sides = np.zeros(n, dtype=np.int8)
-    if n < 2:
-        return sides
-    dp = np.diff(prices.astype(np.float64))
-    sgn = np.sign(dp).astype(np.int8)
-    nz = np.abs(dp) > 1e-12
-    # forward-fill last nonzero sign
-    idx = np.where(nz, np.arange(n - 1), -1)
-    np.maximum.accumulate(idx, out=idx)
-    filled = np.where(idx >= 0, sgn[np.clip(idx, 0, None)], 0)
-    sides[1:] = filled
-    return sides
-
-
-def merge_split_trades(timestamps, prices, amounts, is_buyer_maker=None):
-    """Merge split executions (same timestamp, price and side) by summing
-    amounts. Inputs must be ordered by (timestamp, id).
-
-    Parity: /root/reference/finmlkit/bar/utils.py:263-329 — EXACT anchor
-    semantics: each trade's price is compared against the *group
-    anchor's* price with a 1e-8 tolerance (not its neighbor's), so a
-    price drifting by sub-tolerance steps still opens a new group once
-    it strays >= 1e-8 from the anchor. The vectorized adjacent-pair pass
-    is a superset grouping (anchor groups are always sub-segments of
-    adjacent groups); groups whose internal deviation from their anchor
-    reaches the tolerance — possible only for sub-1e-8 price noise,
-    essentially never on tick-gridded exchange data — are re-segmented
-    with the reference's greedy walk.
-    Side convention from ``is_buyer_maker``: maker-buyer => market sell
-    (-1), else market buy (+1).
-    """
-    n = len(timestamps)
-    if n == 0:
-        return timestamps, prices, amounts, np.empty(0, dtype=np.int8)
-    with_side = is_buyer_maker is not None
-    px64 = prices.astype(np.float64, copy=False)
-
-    same_run = np.zeros(n, dtype=bool)  # same (ts, side) as predecessor
-    same_run[1:] = timestamps[1:] == timestamps[:-1]
-    if with_side:
-        same_run[1:] &= is_buyer_maker[1:] == is_buyer_maker[:-1]
-    dp = np.zeros(n)
-    dp[1:] = np.abs(px64[1:] - px64[:-1])
-
-    new_group = np.empty(n, dtype=bool)
-    new_group[0] = True
-    new_group[1:] = ~same_run[1:] | (dp[1:] >= 1e-8)
-
-    # The adjacent-pair pass equals the reference's anchor walk unless a
-    # same-(ts, side) pair differs by a NONZERO sub-2e-8 step (drifting
-    # anchors can then split a merged run, or a zigzag can re-enter the
-    # anchor's tolerance across an adjacent split). Exchange prices live
-    # on a tick grid, so this triggers only on sub-tolerance noise.
-    tiny = same_run & (dp > 0.0) & (dp < 2e-8)
-    if tiny.any():
-        # exact greedy re-walk of every affected same-(ts, side) run
-        run_start = np.flatnonzero(~same_run)
-        run_end = np.append(run_start[1:], n)
-        affected = np.unique(np.searchsorted(run_start,
-                                             np.flatnonzero(tiny),
-                                             side="right") - 1)
-        for r in affected:
-            s, e = run_start[r], run_end[r]
-            anchor = px64[s]
-            new_group[s + 1:e] = False
-            for i in range(s + 1, e):
-                if abs(px64[i] - anchor) >= 1e-8:
-                    new_group[i] = True
-                    anchor = px64[i]
-
-    starts = np.flatnonzero(new_group)
-    merged_ts = timestamps[starts]
-    merged_px = prices[starts]
-    # within-group sequential f32 adds, same order as the reference loop
-    merged_amt = np.add.reduceat(amounts.astype(np.float32), starts)
-    if with_side:
-        merged_side = np.where(is_buyer_maker[starts], -1, 1).astype(np.int8)
-    else:
-        merged_side = np.empty(0, dtype=np.int8)
-    return merged_ts, merged_px, merged_amt, merged_side
-
-
-def comp_price_tick_size(prices: np.ndarray) -> float:
-    """Estimate the smallest price increment via GCD of scaled unique diffs.
-
-    Parity: /root/reference/finmlkit/bar/utils.py:49-81.
-    """
-    if len(prices) == 0:
-        raise ValueError("Empty prices array")
-    sample = np.round(prices[: min(10000, len(prices))], decimals=12)
-    uniq = np.unique(sample)
-    if len(uniq) <= 1:
-        return 0.0
-    diffs = np.diff(uniq)
-    pos = diffs[diffs > 0]
-    scale = 10.0 ** (-np.floor(np.log10(np.min(pos))))
-    int_px = np.round(uniq * scale).astype(np.int64)
-    int_diffs = np.diff(int_px)
-    tick_int = int(np.gcd.reduce(int_diffs[int_diffs > 0])) if np.any(int_diffs > 0) else 0
-    return tick_int / scale
 
 
 class TradesData:
