@@ -51,7 +51,15 @@ def _touch(msg=None):
 def _watchdog():
     while _progress["armed"]:
         time.sleep(10)
-        if _progress["armed"] and time.time() - _progress["t"] > _WATCHDOG_S:
+        # phase 2 (headline measured, extras running) waits longer: the
+        # fused feature-graph cold compile alone is ~200s via the tunnel
+        limit = _WATCHDOG_S if "flush" not in _progress \
+            else max(_WATCHDOG_S, 420.0)
+        if _progress["armed"] and time.time() - _progress["t"] > limit:
+            flush = _progress.get("flush")
+            if flush is not None:
+                # phase 2: headline already measured — never lose it
+                flush()
             if _RETRIES >= 2:
                 print("# watchdog: stalled and out of retries; aborting",
                       file=sys.stderr)
@@ -247,7 +255,6 @@ def main():
           f"{t_med*1000:.1f}ms, readback+convert overlapped)",
           file=sys.stderr)
 
-    _progress["armed"] = False  # headline measured; extras are guarded
     t_e2e = t_index + t_products
     trades_per_sec = N_TRADES / t_e2e
     vs_baseline = trades_per_sec / REF_TRADES_PER_SEC
@@ -279,6 +286,31 @@ def main():
                 "excludes tunnel readback/host convert (not present on "
                 "directly-attached hardware)",
     }
+
+    # headline is measured: from here on, a wedged tunnel during the
+    # extra configs must NOT lose the round's number — phase-2 watchdog
+    # flushes BENCH_EXTRA + the JSON line and exits cleanly on a stall
+    headline_json = json.dumps({
+        "metric": "bar_build_trades_per_sec_chip",
+        "value": round(trades_per_sec),
+        "unit": "trades/s",
+        "vs_baseline": round(vs_baseline, 3),
+    })
+
+    def _flush_and_exit():
+        print("# watchdog: extras stalled; emitting headline and exiting",
+              file=sys.stderr)
+        try:
+            with open(os.path.join(os.path.dirname(__file__),
+                                   "BENCH_EXTRA.json"), "w") as f:
+                json.dump(extra, f, indent=1)
+        except OSError:
+            pass
+        print(headline_json, flush=True)
+        os._exit(0)
+
+    _progress["flush"] = _flush_and_exit
+    _touch()
 
     # --- CUSUM events + triple barrier on bar closes ---
     close_px = ohlcv["close"][:n_bars]
@@ -312,6 +344,7 @@ def main():
         "events": int(len(events)),
     }
     t_feat = 0.0  # set by the feature-kit config below
+    _touch()
 
     # --- feature-kit pass over the built bars (BASELINE config 4) ---
     try:
@@ -342,6 +375,7 @@ def main():
     except Exception as e:
         print(f"# feature-kit config failed: {e!r}", file=sys.stderr)
 
+    _touch()
     # one honest combined pipeline number: bars + CUSUM events + TBM
     # labels + the 6-feature batch (VERDICT r3 #6)
     combined = N_TRADES / (t_e2e + t_cusum + t_tbm + t_feat)
@@ -419,6 +453,7 @@ def main():
                 round(m / t_fp)
     except Exception as e:
         print(f"# dollar config failed: {e!r}", file=sys.stderr)
+    _touch()
 
     # --- config 4: multi-symbol labeling (vmapped TBM over 4 symbols) ---
     try:
@@ -446,6 +481,7 @@ def main():
         }
     except Exception as e:
         print(f"# multi-symbol config failed: {e!r}", file=sys.stderr)
+    _progress["armed"] = False
 
     print(f"# n_bars={n_bars:,} events={len(events):,} "
           f"t_index={t_index:.3f}s t_products={t_products:.4f}s "
@@ -459,12 +495,7 @@ def main():
     except OSError:
         pass
 
-    print(json.dumps({
-        "metric": "bar_build_trades_per_sec_chip",
-        "value": round(trades_per_sec),
-        "unit": "trades/s",
-        "vs_baseline": round(vs_baseline, 3),
-    }))
+    print(headline_json)
 
 
 if __name__ == "__main__":
