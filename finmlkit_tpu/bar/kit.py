@@ -249,12 +249,19 @@ class BarBuilderBase(ABC):
             raise ValueError("Theta should match the number of bars.")
         theta_pad = np.concatenate(
             [theta, np.zeros(self._ci_padded.shape[0] - 1 - nb)])
-        # native host fast path: one fused pass (sums + selections per
-        # bar); reference semantics, no device round-trip
-        out = fused_mod.trade_size_features_native(
-            np.ascontiguousarray(self.trades_df["amount"].values,
-                                 dtype=np.float32),
-            np.asarray(self._ci_padded), theta_pad, theta_mult)
+        # same host-independence policy as the median/indexer dispatch
+        # (round-3 lesson: host-first paths are hostage to whatever host
+        # runs the pipeline): device kernels on a TPU, the fused native
+        # host pass otherwise. FMKT_TRADE_SIZE overrides.
+        mode_ts = os.environ.get("FMKT_TRADE_SIZE", "auto")
+        if mode_ts == "auto":
+            mode_ts = "device" if _runs_on_tpu(self._ts) else "host"
+        out = None
+        if mode_ts == "host":
+            out = fused_mod.trade_size_features_native(
+                np.ascontiguousarray(self.trades_df["amount"].values,
+                                     dtype=np.float32),
+                np.asarray(self._ci_padded), theta_pad, theta_mult)
         if out is None:
             theta_p = jnp.asarray(theta_pad)
             if self._ticks is not None:

@@ -267,3 +267,47 @@ class TestInfoBarKits:
                         timestamp_unit="ns")  # no preprocess -> no sides
         with pytest.raises(ValueError, match="side"):
             RunBarKit(td, "tick", threshold=10.0)
+
+
+class TestDispatchEnvOverrides:
+    """Indexer / trade-size backend dispatch (round-4 host-independence):
+    forcing either backend must give identical bar products."""
+
+    def _trades(self):
+        r = np.random.default_rng(11)
+        n = 4000
+        ts = 1_700_000_000_000_000_000 + np.cumsum(
+            (r.exponential(100.0, n) * 1e6).astype(np.int64))
+        px = np.round(100 + np.cumsum(r.normal(0, 0.05, n)), 2)
+        amt = np.maximum(np.round(r.lognormal(-2.5, 1.2, n), 5),
+                         1e-5).astype(np.float32)
+        ids = np.arange(n, dtype=np.int64)
+        return TradesData(ts, px, amt, ids, timestamp_unit="ns",
+                          preprocess=True)
+
+    def test_volume_dollar_indexer_backends_agree(self, monkeypatch):
+        td = self._trades()
+        outs = {}
+        for mode in ("host", "device"):
+            monkeypatch.setenv("FMKT_INDEXER", mode)
+            thr = float(td.data["amount"].sum()) / 7
+            outs[mode] = VolumeBarKit(td, thr).bar_close_indices
+        np.testing.assert_array_equal(outs["host"], outs["device"])
+        outs = {}
+        for mode in ("host", "device"):
+            monkeypatch.setenv("FMKT_INDEXER", mode)
+            thr = float((td.data["price"] * td.data["amount"]).sum()) / 7
+            outs[mode] = DollarBarKit(td, thr).bar_close_indices
+        np.testing.assert_array_equal(outs["host"], outs["device"])
+
+    def test_trade_size_backends_agree(self, monkeypatch):
+        td = self._trades()
+        outs = {}
+        for mode in ("host", "device"):
+            monkeypatch.setenv("FMKT_TRADE_SIZE", mode)
+            kit = TimeBarKit(td, pd.Timedelta(minutes=2))
+            outs[mode] = kit.build_trade_size_features(0.05)
+        for c in outs["host"].columns:
+            np.testing.assert_allclose(
+                outs["host"][c].to_numpy(), outs["device"][c].to_numpy(),
+                rtol=2e-5, atol=1e-7, err_msg=c)
