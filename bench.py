@@ -6,9 +6,9 @@ FinMLKit warm time 0.173 s) on synthetic trades of the same size, plus
 triple-barrier labeling over CUSUM events, on one TPU chip.
 
 The measured pipeline is the product path the kit dispatches to
-(bar/fused.py): the time-bar indexer on device, ONE fused jit (prep +
-Pallas scan + boundary gathers) or the staged 3-dispatch variant
-(whichever is faster this run), per-bar medians via the one-sort device
+(bar/fused.py): the time-bar indexer on device, ONE fused jit (the
+boundary-output rowtail scan or the full-plane variant, whichever is
+faster this run), per-bar medians via the batched row-sort device
 engine (host-independent default; the native host path is raced as a
 variant and used only if it measures faster on THIS host), and host f64
 unit conversion. The headline timing is END TO END *including the
@@ -164,7 +164,7 @@ def main():
 
     amj = jax.device_put(jnp.asarray(amount))
 
-    def products(one_dispatch, packed=True, medians="sort", scan="rowtail"):
+    def products(one_dispatch, packed=True, medians="rowsort", scan="rowtail"):
         return fused.bar_products_fused(
             tkj, unj, ci, sdj, tick_size=q.tick_size,
             amount_scale=q.amount_scale, amounts_host=amount,
@@ -206,8 +206,11 @@ def main():
     # standalone device median engine (for the chip-capability line);
     # value-fetch forces completion (block_until_ready can return early
     # through the tunnel, BENCH_NOTES.md)
+    max_count = int(np.max(np.diff(ci_host)))
+
     def sortmed():
-        a, b = fused.median_sort_device(amj, ci, interpret=interp)
+        a, b = fused.median_rowsort_device(amj, ci, interpret=interp,
+                                           max_count=max_count)
         np.asarray(a[:4])
         return a, b
 
@@ -215,7 +218,7 @@ def main():
     sortmed()
     t_med_cold = time.time() - t_med_cold0
     t_med, _ = _bench(sortmed, k=4)
-    print(f"# device sort medians: cold {t_med_cold:.1f}s "
+    print(f"# device rowsort medians: cold {t_med_cold:.1f}s "
           f"warm {t_med*1000:.1f}ms", file=sys.stderr)
     _touch()
 
@@ -225,11 +228,11 @@ def main():
     variants = {}
     try:
         t_cold2_0 = time.time()
-        products(one, medians="sort", scan=scan_mode)
+        products(one, medians="rowsort", scan=scan_mode)
         t_cold2 = time.time() - t_cold2_0
-        variants["packed+sort"], _ = _bench(
-            lambda: products(one, medians="sort", scan=scan_mode), k=3)
-        print(f"# packed+sort cold {t_cold2:.1f}s", file=sys.stderr)
+        variants["packed+rowsort"], _ = _bench(
+            lambda: products(one, medians="rowsort", scan=scan_mode), k=3)
+        print(f"# packed+rowsort cold {t_cold2:.1f}s", file=sys.stderr)
     except Exception as e:
         print(f"# sort variant failed ({type(e).__name__}: {e})",
               file=sys.stderr)
@@ -244,14 +247,14 @@ def main():
     print("# e2e variants: " + ", ".join(
         f"{k} {v*1000:.1f}ms" for k, v in variants.items())
         + f" -> using {best}", file=sys.stderr)
-    use_med = "host" if best == "packed+host" else "sort"
+    use_med = "host" if best == "packed+host" else "rowsort"
 
     t_products, t_products_med, t_products_max, (ohlcv, direc) = _bench_full(
         lambda: products(one, medians=use_med, scan=scan_mode), k=8)
     t_dev = min(t_dev_v1, t_dev_v2)
     print(f"# bar products e2e: min {t_products*1000:.1f}ms / "
           f"median {t_products_med*1000:.1f}ms / max {t_products_max*1000:.1f}ms "
-          f"(fused device {t_dev*1000:.1f}ms + sort medians "
+          f"(fused device {t_dev*1000:.1f}ms + rowsort medians "
           f"{t_med*1000:.1f}ms, readback+convert overlapped)",
           file=sys.stderr)
 
@@ -274,7 +277,7 @@ def main():
         "t_products_median_ms": round(t_products_med * 1e3, 2),
         "t_products_max_ms": round(t_products_max * 1e3, 2),
         "t_device_ms": round(t_dev * 1e3, 2),
-        "t_sort_median_ms": round(t_med * 1e3, 2),
+        "t_rowsort_median_ms": round(t_med * 1e3, 2),
         "trades_per_sec": round(trades_per_sec),
         "vs_baseline": round(vs_baseline, 3),
     }

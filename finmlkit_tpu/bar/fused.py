@@ -565,10 +565,12 @@ def _median_sort_whole_jit(ci, amounts_f32, n_pad: int, interpret: bool,
 def median_sort_device(amounts_f32, ci, interpret: bool = False):
     """Per-bar np.median brackets via the one-sort engine (one jit).
 
-    The DEFAULT median engine: host-independent, exact (same brackets as
-    np.median), ~220 ms at 39M trades on this chip. ``median_select_device``
-    (radix select) and the native host path remain as explicitly-selected
-    fallbacks — see ``bar_products_fused``.
+    Host-independent, exact (same brackets as np.median), ~220 ms at 39M
+    trades on this chip. ``median_rowsort_device`` (the default) beats it
+    ~2x by sorting independent rows; this flat sort remains the fallback
+    for pathologically long bars. ``median_select_device`` (radix select)
+    and the native host path are further explicitly-selected options —
+    see ``bar_products_fused``.
     """
     from ..ops.pallas_scan import _runs_on_tpu
 
@@ -577,6 +579,165 @@ def median_sort_device(amounts_f32, ci, interpret: bool = False):
     use_pallas = interpret or _runs_on_tpu(amounts_f32)
     return _median_sort_whole_jit(ci, amounts_f32, n_pad, interpret,
                                   use_pallas)
+
+
+_ROWSORT_C = 32768      # row width: one scan BLOCK per row
+
+
+@partial(jax.jit, static_argnames=("n_pad", "C", "interpret",
+                                   "use_pallas"))
+def _median_rowsort_whole_jit(ci, amounts_f32, n_pad: int, C: int,
+                              interpret: bool, use_pallas: bool):
+    """Per-bar np.median brackets via BATCHED row sorts (one jit).
+
+    The trade axis reshapes to (R, C) rows sorted INDEPENDENTLY on the
+    composite key ``(bar_id << 32) | raw_f32_bits`` — measured 82 ms at
+    39M keys vs 213 ms for the flat 39M sort (n*log(C) work and better
+    core utilization). Rows are contiguous trade ranges, so a bar fully
+    inside one row lands ascending at a closed-form offset. The <= R-1
+    bars that SPAN a row boundary (exactly one boundary each — the
+    caller guarantees max bar length <= C, falling back to the flat
+    engine otherwise) have two already-sorted fragments; their brackets
+    come from a vectorized two-run rank bisection.
+
+    Positivity invariant: raw bits of nonnegative float32 are an
+    order-preserving nonnegative int32 key (see ops/segment_select.py).
+    """
+    from ..ops.pallas_scan import _cumsum_2d
+
+    n = amounts_f32.shape[0]
+    n_bars = ci.shape[0] - 1
+    pad = n_pad - n
+    amounts_pad = jnp.concatenate(
+        [amounts_f32, jnp.zeros((pad,), jnp.float32)]) if pad else amounts_f32
+    bits = jax.lax.bitcast_convert_type(amounts_pad, jnp.int32)
+
+    marks = jnp.zeros((n_pad + 1,), jnp.int32).at[
+        jnp.clip(ci[1:] + 1, 0, n_pad)].add(np.int32(1))[:n_pad]
+    if use_pallas and not interpret:
+        bar_cum = _cumsum_2d(marks.reshape(-1, 128),
+                             interpret=False).reshape(-1)
+    else:
+        bar_cum = jnp.cumsum(marks)
+    bar_id = jnp.clip(bar_cum, 0, n_bars - 1)
+    idx = jnp.arange(n_pad, dtype=ci.dtype)
+    valid = (idx > ci[0]) & (idx <= ci[-1])
+    bid = jnp.where(valid, bar_id, jnp.int32(n_bars))
+    key = (bid.astype(jnp.int64) << 32) | \
+        bits.astype(jnp.uint32).astype(jnp.int64)
+
+    R = n_pad // C
+    (skey,) = jax.lax.sort((key.reshape(R, C),), num_keys=1, dimension=1)
+    sflat = skey.reshape(-1).astype(jnp.uint64)
+    svals = jax.lax.bitcast_convert_type(
+        (sflat & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).astype(
+            jnp.int32), jnp.float32)
+
+    counts = jnp.diff(ci)
+    a1 = ci[:-1] + 1                       # first trade of each bar
+    e = ci[1:]                             # last trade of each bar
+    r_k = jnp.clip(a1, 0, n_pad - 1) // C
+    # leading invalid trades (idx <= ci[0]) sort to the END of their row,
+    # so the valid data of row r starts compacted at position 0 shifted
+    # by them only when they precede the bar in the same row
+    lead_inv = jnp.clip(ci[0] + 1 - r_k * C, 0, C)
+    off = a1 - r_k * C - lead_inv
+    lo = r_k * C + off + (jnp.maximum(counts - 1, 0) >> 1)
+    hi = r_k * C + off + (jnp.maximum(counts, 1) >> 1)
+    med_a_in = svals[jnp.clip(lo, 0, n_pad - 1)]
+    med_b_in = svals[jnp.clip(hi, 0, n_pad - 1)]
+
+    # --- row-spanning bars -------------------------------------------
+    # The caller guarantees max bar length <= C, so a spanning bar has
+    # EXACTLY two fragments — the tail of row r and the head of row r+1
+    # — and both are already sorted ascending inside the row-sorted
+    # array. The k-th smallest of two sorted runs is a 16-step rank
+    # bisection over tiny (R-1,)-vector gathers: no gather matrix, no
+    # extra sort (a padded re-sort measured ~0.4 s at monthly counts;
+    # this is ~1 ms).
+    span = (jnp.clip(a1, 0, n_pad - 1) // C != jnp.clip(e, 0, n_pad - 1)
+            // C) & (counts > 0)
+    if R > 1:
+        sfi = jax.lax.bitcast_convert_type(svals, jnp.int32)  # value bits
+        sidx = jnp.arange(R - 1, dtype=ci.dtype)
+        b_s = jnp.clip(jnp.searchsorted(ci[1:], (sidx + 1) * C,
+                                        side="left"), 0, n_bars - 1)
+        a1_s = ci[b_s] + 1
+        e_s = ci[b_s + 1]
+        r_s = jnp.clip(a1_s, 0, n_pad - 1) // C
+        lead = jnp.clip(ci[0] + 1 - r_s * C, 0, C)
+        offA = r_s * C + (a1_s - r_s * C - lead)   # run A start in sflat
+        la = (r_s + 1) * C - a1_s                   # tail-fragment length
+        offB = (r_s + 1) * C                        # run B = next row head
+        lb = e_s - (r_s + 1) * C + 1
+        imax = jnp.int32(0x7FFFFFFF)
+        imin = jnp.int32(-0x80000000)
+
+        def run_at(off, ln, x):
+            v = sfi[jnp.clip(off + jnp.clip(x, 0, ln - 1), 0, n_pad - 1)]
+            v = jnp.where(x < 0, imin, v)
+            return jnp.where(x >= ln, imax, v)
+
+        def kth2(t):
+            """Largest of the t smallest elements of runs A and B
+            (i.e. the (t-1)-indexed order statistic of the union)."""
+            lo = jnp.maximum(t - lb, 0)
+            hi = jnp.minimum(t, la)
+            for _ in range(17):  # > log2(C)
+                i = (lo + hi) >> 1
+                a_i = run_at(offA, la, i)
+                b_jm = run_at(offB, lb, t - i - 1)
+                too_low = a_i < b_jm       # must take more from A
+                lo = jnp.where(too_low, i + 1, lo)
+                hi = jnp.where(too_low, hi, i)
+            i = lo
+            last_a = run_at(offA, la, i - 1)
+            last_b = run_at(offB, lb, t - i - 1)
+            return jnp.maximum(last_a, last_b)
+
+        c_s = counts[b_s]
+        ga = kth2((jnp.maximum(c_s - 1, 0) >> 1) + 1)
+        gb = kth2((jnp.maximum(c_s, 1) >> 1) + 1)
+        # candidates whose bar does not truly span (tail rows, invalid
+        # boundary trades) go to a dump slot — a clipped junk candidate
+        # must never race a real spanner's scatter
+        b_eff = jnp.where(span[b_s], b_s, jnp.int64(n_bars))
+        sp_a = jnp.zeros((n_bars + 1,), jnp.int32).at[b_eff].set(
+            ga)[:n_bars]
+        sp_b = jnp.zeros((n_bars + 1,), jnp.int32).at[b_eff].set(
+            gb)[:n_bars]
+        med_a = jnp.where(span, jax.lax.bitcast_convert_type(
+            sp_a, jnp.float32), med_a_in)
+        med_b = jnp.where(span, jax.lax.bitcast_convert_type(
+            sp_b, jnp.float32), med_b_in)
+    else:
+        med_a, med_b = med_a_in, med_b_in
+    return med_a, med_b
+
+
+def median_rowsort_device(amounts_f32, ci, interpret: bool = False,
+                          max_count: int = None, C: int = _ROWSORT_C):
+    """Per-bar np.median brackets via batched row sorts (DEFAULT engine).
+
+    ~2x faster than :func:`median_sort_device` at monthly trade counts
+    (82 ms vs 213 ms sort stage at 39M). Requires the longest bar to fit
+    one row (``max_count <= C``, from the caller's host ``ci`` or one
+    tiny device readback) so every spanning bar has exactly two sorted
+    fragments; falls back to the flat one-sort engine otherwise.
+    """
+    from ..ops.pallas_scan import _runs_on_tpu
+
+    n = int(amounts_f32.shape[0])
+    n_pad = _n_rows(n) * 128
+    if n_pad % C != 0 or n_pad // C < 2:
+        return median_sort_device(amounts_f32, ci, interpret=interpret)
+    if max_count is None:
+        max_count = int(np.max(np.diff(np.asarray(ci))))
+    if max_count > C:
+        return median_sort_device(amounts_f32, ci, interpret=interpret)
+    use_pallas = interpret or _runs_on_tpu(amounts_f32)
+    return _median_rowsort_whole_jit(ci, amounts_f32, n_pad, C,
+                                     interpret, use_pallas)
 
 
 def _unpack_raw(packed, ci_host):
@@ -750,11 +911,15 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
 
     Median engine dispatch (``medians``) — the single selection point:
 
-    - ``"sort"`` (DEFAULT): one-sort device engine
-      (:func:`median_sort_device`) — host-independent, ~220 ms at 39M
-      trades on this chip. The default because the host path's cost is
-      hostage to whatever machine runs the pipeline (measured 0.3 s on a
-      2-core dev host but 2.9 s on the round-3 driver host).
+    - ``"rowsort"`` (DEFAULT): batched row-sort engine
+      (:func:`median_rowsort_device`) — host-independent, ~100 ms at 39M
+      trades on this chip (82 ms sort stage). Falls back to ``"sort"``
+      when a single bar exceeds the spanning-bar pad (2^17 trades).
+    - ``"sort"``: flat one-sort device engine
+      (:func:`median_sort_device`) — ~220 ms at 39M. Host-independent
+      like rowsort (the host path's cost is hostage to whatever machine
+      runs the pipeline: 0.3 s on a 2-core dev host but 2.9 s on the
+      round-3 driver host).
     - ``"host"``: threaded native C++ ``nth_element``
       (``native.seg_median_pair``), overlapped with the device readback.
       Needs ``amounts_host``/``ci_host`` and a built native library;
@@ -786,10 +951,10 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
     :returns: (ohlcv dict, directional dict) of host numpy arrays.
     """
     if medians is None:
-        medians = "select" if device_medians else "sort"
+        medians = "select" if device_medians else "rowsort"
     if medians == "host" and (amounts_host is None or ci_host is None
                               or not native.available()):
-        medians = "sort"
+        medians = "rowsort"
     if medians != "host" and amounts_f32 is None:
         if amounts_host is not None:
             # pad to the device stream length (trailing pads are outside
@@ -821,13 +986,18 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
         # device engine as its own short dispatch sequence; queued behind
         # the main program, read back with the packed buffers
         if medians == "select":
-            engine = median_select_device
+            med = median_select_device(amounts_f32, ci, interpret=interpret)
         elif medians == "hist":
             from ..ops.segment_hist import segment_median_pair_hist
-            engine = segment_median_pair_hist
+            med = segment_median_pair_hist(amounts_f32, ci,
+                                           interpret=interpret)
+        elif medians == "sort":
+            med = median_sort_device(amounts_f32, ci, interpret=interpret)
         else:
-            engine = median_sort_device
-        med = engine(amounts_f32, ci, interpret=interpret)
+            mc = (int(np.max(np.diff(np.asarray(ci_host))))
+                  if ci_host is not None else None)
+            med = median_rowsort_device(amounts_f32, ci,
+                                        interpret=interpret, max_count=mc)
         _start_host_copies(tuple(bufs) + tuple(med))
     if packed:
         raw = _unpack_raw(bufs, ci_host if ci_host is not None else ci)

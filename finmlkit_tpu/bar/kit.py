@@ -138,13 +138,13 @@ class BarBuilderBase(ABC):
             amounts_host = np.ascontiguousarray(
                 self.trades_df["amount"].values, dtype=np.float32)
             ci_host = np.asarray(self._ci_padded)
-            # packed 3-buffer readback; medians default to the one-sort
-            # device engine — host-independent (the native nth_element
-            # path measured 0.3 s on a fast 2-core host but 2.9 s on the
-            # round-3 driver host; the device sort is ~220 ms at 39M
-            # trades regardless of host). FMKT_MEDIANS selects:
-            # "sort" (default) | "host" | "select" (quarantined probe).
-            medians = os.environ.get("FMKT_MEDIANS", "sort")
+            # packed 3-buffer readback; medians default to the batched
+            # row-sort device engine — host-independent (the native
+            # nth_element path measured 0.3 s on a fast 2-core host but
+            # 2.9 s on the round-3 driver host; the device row sort is
+            # ~100 ms at 39M trades regardless of host). FMKT_MEDIANS:
+            # "rowsort" (default) | "sort" | "host" | "hist" | "select".
+            medians = os.environ.get("FMKT_MEDIANS", "rowsort")
             if medians == "device":  # legacy alias from round 3
                 medians = "select"
             self._fused_cache = fused_mod.bar_products_fused(

@@ -224,3 +224,42 @@ class TestPackedVariant:
         for b1, b2, name in zip(v1, v2, ["i64", "i32", "f32"]):
             np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2),
                                           err_msg=name)
+
+    def test_rowsort_median_engine(self):
+        # batched row-sort engine vs one-sort engine: bit-identical,
+        # including bars spanning row boundaries (small C) and the flat
+        # fallback for bars longer than a row
+        price, amount, side, q, ci = _mk(seed=41, n=5000, n_bars=55)
+        amount[::5] = amount[2]  # ties
+        amt_j, ci_j = jnp.asarray(amount), jnp.asarray(ci)
+        ne = np.diff(ci) > 0
+        s_a, s_b = fused.median_sort_device(amt_j, ci_j, interpret=True)
+        for C in (512, 1024):
+            r_a, r_b = fused.median_rowsort_device(amt_j, ci_j,
+                                                   interpret=True, C=C)
+            np.testing.assert_array_equal(np.asarray(r_a)[ne],
+                                          np.asarray(s_a)[ne], err_msg=f"C={C}")
+            np.testing.assert_array_equal(np.asarray(r_b)[ne],
+                                          np.asarray(s_b)[ne], err_msg=f"C={C}")
+        # giant bar -> flat-sort fallback path
+        ci_big = np.array([-1, 2500, 4999], np.int64)
+        f_a, f_b = fused.median_rowsort_device(amt_j, jnp.asarray(ci_big),
+                                               interpret=True, C=512)
+        g_a, g_b = fused.median_sort_device(amt_j, jnp.asarray(ci_big),
+                                            interpret=True)
+        np.testing.assert_array_equal(np.asarray(f_a), np.asarray(g_a))
+        np.testing.assert_array_equal(np.asarray(f_b), np.asarray(g_b))
+
+    def test_products_rowsort_medians(self):
+        # the default medians="rowsort" through bar_products_fused
+        price, amount, side, q, ci = _mk(seed=42, n=4000, n_bars=45)
+        args = (jnp.asarray(q.price_ticks), jnp.asarray(q.amount_units),
+                jnp.asarray(ci), jnp.asarray(side))
+        kw = dict(tick_size=q.tick_size, amount_scale=q.amount_scale,
+                  interpret=True, amounts_f32=jnp.asarray(amount),
+                  ci_host=ci, packed=True)
+        o_row, _ = fused.bar_products_fused(*args, medians="rowsort", **kw)
+        o_srt, _ = fused.bar_products_fused(*args, medians="sort", **kw)
+        np.testing.assert_array_equal(
+            np.asarray(o_row["median_trade_size"]),
+            np.asarray(o_srt["median_trade_size"]))
