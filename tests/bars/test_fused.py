@@ -263,3 +263,23 @@ class TestPackedVariant:
         np.testing.assert_array_equal(
             np.asarray(o_row["median_trade_size"]),
             np.asarray(o_srt["median_trade_size"]))
+
+    def test_rowsort_anchored_spanning_edges(self):
+        # anchored stream whose FIRST bar spans a row boundary, plus
+        # boundary-adjacent one-trade bars and empty bars, heavy ties
+        r = np.random.default_rng(7)
+        n = 3000
+        amount = np.maximum(np.round(r.lognormal(-2.5, 1.2, n), 5),
+                            1e-5).astype(np.float32)
+        amount[::3] = amount[10]
+        ci = np.array([500, 600, 601, 700, 1023, 1024, 1025, 2047, 2999],
+                      np.int64)
+        ma, mb = fused.median_rowsort_device(
+            jnp.asarray(amount), jnp.asarray(ci), interpret=True, C=512)
+        ma = np.asarray(ma, np.float64)
+        mb = np.asarray(mb, np.float64)
+        for i in range(len(ci) - 1):
+            s, e = ci[i] + 1, ci[i + 1] + 1
+            if e > s:
+                assert (ma[i] + mb[i]) / 2 == \
+                    np.median(amount[s:e].astype(np.float64)), i
