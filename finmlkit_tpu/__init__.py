@@ -28,6 +28,23 @@ import jax
 if os.environ.get("FMKT_DISABLE_X64", "0") != "1":
     jax.config.update("jax_enable_x64", True)
 
+# persistent XLA compilation cache: first compiles of the fused programs
+# cost seconds-to-minutes on remote-compile TPU transports; a local cache
+# makes every later process start warm. FMKT_COMPILE_CACHE overrides the
+# location ("0" disables; unset -> ~/.cache/finmlkit_tpu/jax).
+_cache = os.environ.get("FMKT_COMPILE_CACHE")
+if _cache != "0":
+    if not _cache:
+        _cache = os.path.join(os.path.expanduser("~"), ".cache",
+                              "finmlkit_tpu", "jax")
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
 from ._version import __version__  # noqa: E402
 
 __all__ = ["__version__"]
