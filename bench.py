@@ -242,12 +242,24 @@ def main():
     except Exception as e:
         print(f"# host variant failed ({type(e).__name__}: {e})",
               file=sys.stderr)
+    if scan_mode == "rowtail":
+        try:  # products + medians in ONE compiled program
+            t_cold4_0 = time.time()
+            products(one, medians="rowsort+fused")
+            t_cold4 = time.time() - t_cold4_0
+            variants["packed+fusedmed"], _ = _bench(
+                lambda: products(one, medians="rowsort+fused"), k=3)
+            print(f"# packed+fusedmed cold {t_cold4:.1f}s", file=sys.stderr)
+        except Exception as e:
+            print(f"# fusedmed variant failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
     _touch()
     best = min(variants, key=variants.get)
     print("# e2e variants: " + ", ".join(
         f"{k} {v*1000:.1f}ms" for k, v in variants.items())
         + f" -> using {best}", file=sys.stderr)
-    use_med = "host" if best == "packed+host" else "rowsort"
+    use_med = {"packed+host": "host",
+               "packed+fusedmed": "rowsort+fused"}.get(best, "rowsort")
 
     t_products, t_products_med, t_products_max, (ohlcv, direc) = _bench_full(
         lambda: products(one, medians=use_med, scan=scan_mode), k=8)

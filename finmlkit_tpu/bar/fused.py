@@ -467,6 +467,53 @@ def fused_packed_v2_device(price_ticks, amount_units, ci, sides,
                                 _n_rows(n) * 128, interpret)
 
 
+@partial(jax.jit, static_argnames=("n_pad", "C", "interpret",
+                                   "use_pallas"))
+def _products_withmed_jit(price_ticks, amount_units, sides, ci,
+                          amounts_f32, n_pad: int, C: int,
+                          interpret: bool, use_pallas: bool):
+    """v2 products + rowsort medians in ONE compiled program.
+
+    One dispatch instead of two — per-dispatch overhead through a remote
+    transport is tens of ms. The r3 lesson about not embedding the
+    median engine in the scan program concerned the radix-select
+    engine's big-table scatters; the rowsort engine is sort+gather only
+    and composes cleanly (the bench races both arrangements anyway).
+    """
+    p64, p32, pf = _fused_packed_v2_jit(price_ticks, amount_units, sides,
+                                        ci, n_pad, interpret)
+    ma, mb = _median_rowsort_whole_jit(ci, amounts_f32, n_pad, C,
+                                       interpret, use_pallas)
+    return p64, p32, pf, ma, mb
+
+
+def fused_packed_withmed_device(price_ticks, amount_units, ci, sides,
+                                amounts_f32, max_count: int = None,
+                                interpret: bool = False, C: int = None):
+    """One-dispatch v2 products + rowsort medians.
+
+    Returns (packed_i64, packed_i32, packed_f32, med_a, med_b); None
+    when the rowsort preconditions fail (caller uses the two-program
+    arrangement instead).
+    """
+    from ..ops.pallas_scan import _runs_on_tpu
+
+    if C is None:
+        C = _ROWSORT_C
+    n = int(price_ticks.shape[0])
+    n_pad = _n_rows(n) * 128
+    if n_pad % C != 0 or n_pad // C < 2:
+        return None
+    if max_count is None:
+        max_count = int(np.max(np.diff(np.asarray(ci))))
+    if max_count > C:
+        return None
+    use_pallas = interpret or _runs_on_tpu(price_ticks)
+    return _products_withmed_jit(price_ticks, amount_units, sides, ci,
+                                 amounts_f32, n_pad, C, interpret,
+                                 use_pallas)
+
+
 @partial(jax.jit, static_argnames=("n_pad", "interpret", "use_pallas"))
 def _median_select_whole_jit(ci, amounts_f32, n_pad: int, interpret: bool,
                              use_pallas: bool):
@@ -955,6 +1002,28 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
     if medians == "host" and (amounts_host is None or ci_host is None
                               or not native.available()):
         medians = "rowsort"
+    if medians == "rowsort+fused":
+        # products + medians in ONE compiled program (one dispatch)
+        if amounts_f32 is None and amounts_host is not None:
+            pad = int(price_ticks.shape[0]) - len(amounts_host)
+            amounts_f32 = jnp.asarray(np.concatenate(
+                [amounts_host, np.zeros(pad, np.float32)]) if pad > 0
+                else amounts_host[:price_ticks.shape[0]])
+        mc = (int(np.max(np.diff(np.asarray(ci_host))))
+              if ci_host is not None else None)
+        combo = (fused_packed_withmed_device(
+            price_ticks, amount_units, ci, sides, amounts_f32,
+            max_count=mc, interpret=interpret)
+            if packed and scan == "rowtail" and amounts_f32 is not None
+            else None)
+        if combo is not None:
+            p64, p32, pf, ma, mb = combo
+            _start_host_copies((p64, p32, pf, ma, mb))
+            raw = _unpack_raw((p64, p32, pf),
+                              ci_host if ci_host is not None else ci)
+            med = (np.asarray(ma), np.asarray(mb))
+            return _convert_host(raw, med, tick_size, amount_scale)
+        medians = "rowsort"  # preconditions failed: two-program path
     if medians != "host" and amounts_f32 is None:
         if amounts_host is not None:
             # pad to the device stream length (trailing pads are outside

@@ -283,3 +283,22 @@ class TestPackedVariant:
             if e > s:
                 assert (ma[i] + mb[i]) / 2 == \
                     np.median(amount[s:e].astype(np.float64)), i
+
+    def test_fused_medians_one_program(self):
+        # medians="rowsort+fused" (one compiled program) must equal the
+        # two-program rowsort arrangement on every output
+        price, amount, side, q, ci = _mk(seed=43, n=4000, n_bars=45)
+        args = (jnp.asarray(q.price_ticks), jnp.asarray(q.amount_units),
+                jnp.asarray(ci), jnp.asarray(side))
+        kw = dict(tick_size=q.tick_size, amount_scale=q.amount_scale,
+                  interpret=True, amounts_f32=jnp.asarray(amount),
+                  ci_host=ci, packed=True)
+        o1, d1 = fused.bar_products_fused(*args, medians="rowsort", **kw)
+        o2, d2 = fused.bar_products_fused(*args, medians="rowsort+fused",
+                                          **kw)
+        for k in o1:
+            np.testing.assert_array_equal(np.asarray(o1[k]),
+                                          np.asarray(o2[k]), err_msg=k)
+        for k in d1:
+            np.testing.assert_array_equal(np.asarray(d1[k]),
+                                          np.asarray(d2[k]), err_msg=k)
