@@ -488,6 +488,374 @@ def _rowtail_kernel(ticks_ref, ulo_ref, uhi_ref, dlo_ref, dhi_ref,
     out_ref[...] = jnp.concatenate(cols + [pad], axis=1)
 
 
+# ---------------------------------------------------------------------------
+# v3: batched row phases
+# ---------------------------------------------------------------------------
+#
+# Layout fact (measured): a (ROWS, 1) column op costs the SAME 32 vregs
+# as a full (ROWS, 128) op, so the per-quantity ROW phase of _scan2d
+# (8 log-steps x ~35 scan arrays) is ~half the kernel's compute despite
+# touching 1/128 of the data. v3 runs the lane phases per quantity as
+# before, then batches ALL row phases into three (ROWS, 128) tiles whose
+# per-lane combine is selected by static lane-class masks (sum /
+# seg-max / seg-min / last-fill / or), with ONE shared row-mark flag
+# column. Pair (hi, lo) row totals ride three plain sum lanes via a
+# 16-bit split (exact carry reconstruction); float32 extrema ride int32
+# lanes via the monotone sign-flip encoding. Tiles are staged by data
+# dependency: sums + price extrema -> bases -> rel-imbalance extrema.
+# Output is BIT-IDENTICAL to bar_scan_rowtails (the parity oracle).
+
+_M16 = np.int32(0xFFFF)
+
+
+def _lane_scan(xs, combine):
+    """Inclusive scan along lanes only; rows independent."""
+    l = xs[0].shape[1]
+    ys = xs
+    shift = 1
+    while shift < l:
+        shifted = tuple(_roll(y, shift, 1) for y in ys)
+        mask = _ge(ys[0].shape, 1, shift)
+        comb = combine(shifted, ys)
+        ys = tuple(jnp.where(mask, c, y) for c, y in zip(comb, ys))
+        shift *= 2
+    return ys
+
+
+def _f32_to_mono_i32(v):
+    m = jax.lax.bitcast_convert_type(v, jnp.int32)
+    return jnp.where(m >= 0, m, m ^ np.int32(0x7FFFFFFF))
+
+
+def _mono_i32_to_f32(k):
+    m = jnp.where(k >= 0, k, k ^ np.int32(0x7FFFFFFF))
+    return jax.lax.bitcast_convert_type(m, jnp.float32)
+
+
+def _mk_masks(spec):
+    """spec: dict class -> lane indices. Builds (1, LANES) bool masks
+    from iota range compares AT TRACE TIME (Pallas rejects captured
+    array constants)."""
+    io = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    def one(idxs):
+        if not idxs:
+            return jnp.zeros((1, LANES), jnp.bool_)
+        idxs = sorted(idxs)
+        runs = []
+        s = p = idxs[0]
+        for x in idxs[1:]:
+            if x == p + 1:
+                p = x
+            else:
+                runs.append((s, p))
+                s = p = x
+        runs.append((s, p))
+        m = None
+        for a, b in runs:
+            mm = (io >= np.int32(a)) & (io <= np.int32(b))
+            m = mm if m is None else (m | mm)
+        return m
+
+    return {cls: one(list(spec.get(cls, ())))
+            for cls in ("sum", "max", "min", "fill")}
+
+
+def _row_scan_tiled(T, flag_lane: int, classes):
+    """Inclusive row scan of a (ROWS, LANES) tile; per-lane combine by
+    the class masks from :func:`_mk_masks`; every other lane or-combines
+    (the flag lane and padding)."""
+    r = T.shape[0]
+    msum, mmax = classes["sum"], classes["max"]
+    mmin, mfill = classes["min"], classes["fill"]
+    shift = 1
+    while shift < r:
+        Tsh = _roll(T, shift, 0)
+        rows_ok = _ge(T.shape, 0, shift)
+        fcur = T[:, flag_lane:flag_lane + 1] != 0
+        summ = Tsh + T
+        mx = jnp.where(fcur, T, jnp.maximum(Tsh, T))
+        mn = jnp.where(fcur, T, jnp.minimum(Tsh, T))
+        fill = jnp.where(fcur, T, Tsh)
+        orr = Tsh | T
+        comb = jnp.where(msum, summ,
+                         jnp.where(mmax, mx,
+                                   jnp.where(mmin, mn,
+                                             jnp.where(mfill, fill, orr))))
+        T = jnp.where(rows_ok, comb, T)
+        shift *= 2
+    return T
+
+
+# tile-1 lane plan: 18 pair-split sum lanes + tb/ts/sp + price extrema
+_T1_FLAG = 24
+_T1_SPEC = {"sum": list(range(21)), "max": [21, 23], "min": [22]}
+# tile-2: the five last-fill base lanes
+_T2_FLAG = 5
+_T2_SPEC = {"fill": [0, 1, 2, 3, 4]}
+# tile-3: the six in-bar imbalance extremum lanes
+_T3_FLAG = 6
+_T3_SPEC = {"min": [0, 2, 4], "max": [1, 3, 5]}
+
+
+def _rowtail_kernel_v3(ticks_ref, ulo_ref, uhi_ref, dlo_ref, dhi_ref,
+                       side_ref, flags_ref, spread_ref, out_ref, ci32, cf32):
+    i = pl.program_id(0)
+    first = i == 0
+    z = jnp.zeros((), jnp.int32)
+    last = (ROWS - 1, LANES - 1)
+
+    ticks = ticks_ref[...]
+    ulo = ulo_ref[...]
+    uhi = uhi_ref[...]
+    dlo = dlo_ref[...]
+    dhi = dhi_ref[...]
+    side = side_ref[...]
+    flags = flags_ref[...]
+    spread = spread_ref[...]
+
+    valid = (flags & 1) != 0
+    mark = (flags & 2) != 0
+    mark32 = mark.astype(jnp.int32)
+    is_buy = side == 1
+    is_sell = side == -1
+
+    row0 = ~_ge((ROWS, 1), 0, 1)        # (ROWS, 1) True on row 0
+    cols = [None] * N_ROWTAIL
+
+    def c32(k):
+        return jnp.where(first, z, ci32[0, k])
+
+    def tail(y):
+        return y[:, LANES - 1:LANES]
+
+    def col1(E, k):
+        return jnp.where(row0, z, E[:, k:k + 1])
+
+    # shared within-row cumulative mark
+    (seenL32,) = _lane_scan((mark32,), _c_or)
+    seenL = seenL32 != 0
+    rowmark = tail(seenL32)
+
+    # ---- lane phases: sums + price extrema ---------------------------
+    def pair_lane(mask, hi_v, lo_v):
+        hi_in = jnp.where(mask, hi_v, z)
+        lo_in = jnp.where(mask, lo_v, z)
+        hi_s, lo_s = _lane_scan((hi_in, lo_in), _c_sum_pair)
+        return hi_s, lo_s, hi_in, lo_in
+
+    pq = [("pbu", pair_lane(is_buy, uhi, ulo)),
+          ("psu", pair_lane(is_sell, uhi, ulo)),
+          ("pbd", pair_lane(is_buy, dhi, dlo)),
+          ("psd", pair_lane(is_sell, dhi, dlo)),
+          ("ptu", pair_lane(valid, uhi, ulo)),
+          ("ptd", pair_lane(valid, dhi, dlo))]
+    tbm = (is_buy & valid).astype(jnp.int32)
+    tsm = (is_sell & valid).astype(jnp.int32)
+    (tb_r,) = _lane_scan((tbm,), _c_sum)
+    (ts_r,) = _lane_scan((tsm,), _c_sum)
+    (sp_r,) = _lane_scan((jnp.where(valid, spread, z),), _c_sum)
+    hgh_r, _ = _lane_scan((jnp.where(valid, ticks, _I32MIN), mark32),
+                          _c_seg_max)
+    low_r, _ = _lane_scan((jnp.where(valid, ticks, _I32MAX), mark32),
+                          _c_seg_min)
+    spx_r, _ = _lane_scan((jnp.where(valid, spread, np.int32(-1)), mark32),
+                          _c_seg_max)
+
+    # ---- tile 1 row scan ---------------------------------------------
+    t1 = []
+    for _, (hi_s, lo_s, _, _) in pq:
+        lo_t = tail(lo_s)
+        t1 += [lo_t & _M16, (lo_t >> 16) & _M16, tail(hi_s)]
+    t1 += [tail(tb_r), tail(ts_r), tail(sp_r),
+           tail(hgh_r), tail(low_r), tail(spx_r), rowmark]
+    T1 = jnp.concatenate(
+        t1 + [jnp.zeros((ROWS, LANES - len(t1)), jnp.int32)], axis=1)
+    E1 = _roll(_row_scan_tiled(T1, _T1_FLAG, _mk_masks(_T1_SPEC)),
+               1, 0)
+    e1flag = col1(E1, _T1_FLAG) != 0
+    seenB = seenL | jnp.broadcast_to(e1flag, seenL.shape)
+
+    # ---- apply: pairs -------------------------------------------------
+    def pair_apply(qi, slot, hi_s, lo_s):
+        A = col1(E1, 3 * qi)
+        B = col1(E1, 3 * qi + 1)
+        H = col1(E1, 3 * qi + 2)
+        mid = B + (A >> 16)
+        lo_p = ((mid & _M16) << 16) | (A & _M16)
+        hi_p = H + (mid >> 16)
+        clo, chi = c32(slot + 1), c32(slot)
+        lo_pc = lo_p + clo
+        ovf_c = ((lo_pc + _BIAS) < (lo_p + _BIAS)).astype(jnp.int32)
+        hi_pc = hi_p + chi + ovf_c
+        lo_f = lo_s + lo_pc
+        ovf = ((lo_f + _BIAS) < (lo_s + _BIAS)).astype(jnp.int32)
+        hi_f = hi_s + hi_pc + ovf
+        return hi_f, lo_f
+
+    pf = {}
+    for qi, (name, (hi_s, lo_s, hx, lx)) in enumerate(pq):
+        slot = _S_PAIRS + 2 * qi
+        hi_f, lo_f = pair_apply(qi, slot, hi_s, lo_s)
+        cols[ROWTAIL_LANES[name + "_hi"]] = tail(hi_f)
+        cols[ROWTAIL_LANES[name + "_lo"]] = tail(lo_f)
+        ci32[0, slot] = hi_f[last]
+        ci32[0, slot + 1] = lo_f[last]
+        pf[name] = (hi_f, lo_f, hx, lx)
+
+    # ---- apply: plain i32 sums ----------------------------------------
+    def i32_apply(y, lane, slot, name):
+        s = y + (col1(E1, lane) + c32(slot))
+        cols[ROWTAIL_LANES[name]] = tail(s)
+        ci32[0, slot] = s[last]
+        return s
+
+    tb = i32_apply(tb_r, 18, _S_TB, "ptb")
+    ts_ = i32_apply(ts_r, 19, _S_TS, "pts")
+    i32_apply(sp_r, 20, _S_SP, "psp")
+
+    # ---- apply: segmented extrema -------------------------------------
+    def seg_apply_i32(y, Ecol, slot, name, is_max):
+        ident = _I32MIN if is_max else _I32MAX
+        comb = jnp.maximum if is_max else jnp.minimum
+        Ee = jnp.where(row0, ident, Ecol)
+        m1 = jnp.where(seenL, y, comb(y, Ee))
+        carry = jnp.where(first, ident, ci32[0, slot])
+        m_f = jnp.where(seenB, m1, comb(m1, carry))
+        cols[ROWTAIL_LANES[name]] = tail(m_f)
+        ci32[0, slot] = m_f[last]
+
+    seg_apply_i32(hgh_r, E1[:, 21:22], _S_HIGH, "high", True)
+    seg_apply_i32(low_r, E1[:, 22:23], _S_LOW, "low", False)
+    seg_apply_i32(spx_r, E1[:, 23:24], _S_SPMAX, "spmax", True)
+
+    # ---- bases: lane fills + tile 2 -----------------------------------
+    cv_hi, cv_lo = _pair_sub(pf["pbu"][0], pf["pbu"][1],
+                             pf["psu"][0], pf["psu"][1])
+    cd_hi, cd_lo = _pair_sub(pf["pbd"][0], pf["pbd"][1],
+                             pf["psd"][0], pf["psd"][1])
+    xu_hi, xu_lo = _pair_sub(pf["pbu"][2], pf["pbu"][3],
+                             pf["psu"][2], pf["psu"][3])
+    xd_hi, xd_lo = _pair_sub(pf["pbd"][2], pf["pbd"][3],
+                             pf["psd"][2], pf["psd"][3])
+    ecv_hi, ecv_lo = _pair_sub(cv_hi, cv_lo, xu_hi, xu_lo)
+    ecd_hi, ecd_lo = _pair_sub(cd_hi, cd_lo, xd_hi, xd_lo)
+    ct = tb - ts_
+    e_ct = ct - (tbm - tsm)
+
+    bvh_r, bvl_r, _ = _lane_scan(
+        (jnp.where(mark, ecv_hi, z), jnp.where(mark, ecv_lo, z), mark32),
+        _c_last_pair)
+    bdh_r, bdl_r, _ = _lane_scan(
+        (jnp.where(mark, ecd_hi, z), jnp.where(mark, ecd_lo, z), mark32),
+        _c_last_pair)
+    bct_r, _ = _lane_scan((jnp.where(mark, e_ct, z), mark32), _c_last)
+
+    t2 = [tail(bvh_r), tail(bvl_r), tail(bdh_r), tail(bdl_r),
+          tail(bct_r), rowmark]
+    T2 = jnp.concatenate(
+        t2 + [jnp.zeros((ROWS, LANES - len(t2)), jnp.int32)], axis=1)
+    E2 = _roll(_row_scan_tiled(T2, _T2_FLAG, _mk_masks(_T2_SPEC)),
+               1, 0)
+
+    def fill_apply(y, lane, slot, name):
+        b1 = jnp.where(seenL, y,
+                       jnp.where(jnp.broadcast_to(e1flag, y.shape),
+                                 col1(E2, lane), c32(slot)))
+        if name is not None:
+            cols[ROWTAIL_LANES[name]] = tail(b1)
+        ci32[0, slot] = b1[last]
+        return b1
+
+    bvh = fill_apply(bvh_r, 0, _S_CVB, "cvb_hi")
+    bvl = fill_apply(bvl_r, 1, _S_CVB + 1, "cvb_lo")
+    bdh = fill_apply(bdh_r, 2, _S_CDB, "cdb_hi")
+    bdl = fill_apply(bdl_r, 3, _S_CDB + 1, "cdb_lo")
+    bct = fill_apply(bct_r, 4, _S_CTB, "ctb")
+
+    # ---- rel-imbalance extrema: lane phase + tile 3 -------------------
+    rel_cv = _pair_to_f32(*_pair_sub(cv_hi, cv_lo, bvh, bvl))
+    rel_cd = _pair_to_f32(*_pair_sub(cd_hi, cd_lo, bdh, bdl))
+    traded = valid & (side != 0)
+    rel_ct = ct - bct
+
+    ctmin_r, _ = _lane_scan((jnp.where(traded, rel_ct, _I32MAX), mark32),
+                            _c_seg_min)
+    ctmax_r, _ = _lane_scan((jnp.where(traded, rel_ct, _I32MIN), mark32),
+                            _c_seg_max)
+    cvmin_r, _ = _lane_scan((jnp.where(traded, rel_cv, _F32BIG), mark32),
+                            _c_seg_min)
+    cvmax_r, _ = _lane_scan((jnp.where(traded, rel_cv, -_F32BIG), mark32),
+                            _c_seg_max)
+    cdmin_r, _ = _lane_scan((jnp.where(traded, rel_cd, _F32BIG), mark32),
+                            _c_seg_min)
+    cdmax_r, _ = _lane_scan((jnp.where(traded, rel_cd, -_F32BIG), mark32),
+                            _c_seg_max)
+
+    t3 = [tail(ctmin_r), tail(ctmax_r),
+          _f32_to_mono_i32(tail(cvmin_r)), _f32_to_mono_i32(tail(cvmax_r)),
+          _f32_to_mono_i32(tail(cdmin_r)), _f32_to_mono_i32(tail(cdmax_r)),
+          rowmark]
+    T3 = jnp.concatenate(
+        t3 + [jnp.zeros((ROWS, LANES - len(t3)), jnp.int32)], axis=1)
+    E3 = _roll(_row_scan_tiled(T3, _T3_FLAG, _mk_masks(_T3_SPEC)),
+               1, 0)
+
+    seg_apply_i32(ctmin_r, E3[:, 0:1], _S_CTMIN, "ctmin", False)
+    seg_apply_i32(ctmax_r, E3[:, 1:2], _S_CTMAX, "ctmax", True)
+
+    def seg_apply_f32(y, lane, slot_f, name, is_max):
+        ident = -_F32BIG if is_max else _F32BIG
+        comb = jnp.maximum if is_max else jnp.minimum
+        Ee = jnp.where(row0, jnp.float32(ident),
+                       _mono_i32_to_f32(E3[:, lane:lane + 1]))
+        m1 = jnp.where(seenL, y, comb(y, Ee))
+        carry = jnp.where(first, ident, cf32[0, slot_f])
+        m_f = jnp.where(seenB, m1, comb(m1, carry))
+        cols[ROWTAIL_LANES[name]] = jax.lax.bitcast_convert_type(
+            tail(m_f), jnp.int32)
+        cf32[0, slot_f] = m_f[last]
+
+    seg_apply_f32(cvmin_r, 2, _SF_CVMIN, "cvmin", False)
+    seg_apply_f32(cvmax_r, 3, _SF_CVMAX, "cvmax", True)
+    seg_apply_f32(cdmin_r, 4, _SF_CDMIN, "cdmin", False)
+    seg_apply_f32(cdmax_r, 5, _SF_CDMAX, "cdmax", True)
+
+    pad = jnp.zeros((ROWS, LANES - N_ROWTAIL), jnp.int32)
+    out_ref[...] = jnp.concatenate(cols + [pad], axis=1)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def bar_scan_rowtails_v3(ticks, ulo, uhi, dlo, dhi, side, flags, spread,
+                         interpret: bool = False):
+    """Batched-row-phase variant of :func:`bar_scan_rowtails`.
+
+    Bit-identical output (the v2 kernel is the parity oracle); the row
+    phases of all ~35 scan quantities run in three masked-combine tiles
+    instead of per-quantity (ROWS, 1) column scans.
+
+    MEASURED SLOWER than v2 (75 vs 59 ms at 39M trades on this chip):
+    Mosaic evidently keeps the narrow per-quantity column scans in an
+    efficient layout, while this variant pays ~65 lane concat/slice
+    relayouts to marshal the tiles — the hypothesis that (ROWS, 1) ops
+    cost full vregs did not survive contact with the hardware. Kept as
+    the tested record of that negative result; v2 remains the default.
+    """
+    n_rows = ticks.shape[0]
+    grid = (n_rows // ROWS,)
+    spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, np.int32(0)))
+    return pl.pallas_call(
+        _rowtail_kernel_v3,
+        grid=grid,
+        in_specs=[spec] * 8,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(ticks.shape, jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1, _N_I32_SLOTS), jnp.int32),
+                        pltpu.SMEM((1, _N_F32_SLOTS), jnp.float32)],
+        interpret=interpret,
+    )(ticks, ulo, uhi, dlo, dhi, side, flags, spread)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def bar_scan_rowtails(ticks, ulo, uhi, dlo, dhi, side, flags, spread,
                       interpret: bool = False):

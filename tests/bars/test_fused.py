@@ -302,3 +302,16 @@ class TestPackedVariant:
         for k in d1:
             np.testing.assert_array_equal(np.asarray(d1[k]),
                                           np.asarray(d2[k]), err_msg=k)
+
+    def test_rowtail_v3_matches_v2_plane(self):
+        # the batched-row-phase kernel variant must be bit-identical to
+        # the per-quantity v2 kernel (it is kept as a tested negative
+        # perf result; see BENCH_NOTES.md)
+        from finmlkit_tpu.ops import fused_scan as FS
+        price, amount, side, q, ci = _mk(seed=51, n=70000, n_bars=80)
+        planes_in, _ = fused.prep_planes(
+            jnp.asarray(q.price_ticks), jnp.asarray(q.amount_units),
+            jnp.asarray(side), jnp.asarray(ci))
+        v2 = np.asarray(FS.bar_scan_rowtails(*planes_in, interpret=True))
+        v3 = np.asarray(FS.bar_scan_rowtails_v3(*planes_in, interpret=True))
+        np.testing.assert_array_equal(v2, v3)
