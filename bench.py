@@ -434,9 +434,10 @@ def main():
             except Exception as e:
                 print(f"# device dollar index failed: {e!r}",
                       file=sys.stderr)
-            # footprints on the dollar bars of a 4M-trade slice
+            # footprints on the dollar bars of a 20M-trade slice
+            # (VERDICT r4 #5: monthly-scale footprint evidence)
             from finmlkit_tpu.bar.footprint_q import comp_bar_footprints_q
-            m = min(4_000_000, N_TRADES)
+            m = min(20_000_000, N_TRADES)
             nb4 = int(np.searchsorted(ci_d, m - 1))
             ci4 = np.concatenate([ci_d[:nb4], [m - 1]]).astype(np.int64)
             lows = np.minimum.reduceat(
@@ -468,6 +469,83 @@ def main():
                 round(m / t_fp)
     except Exception as e:
         print(f"# dollar config failed: {e!r}", file=sys.stderr)
+    _touch()
+
+    # --- config 6: CUSUM + adaptive info-bar indexers at monthly scale
+    # (BASELINE "run/imbalance bars with adaptive thresholds"; the
+    # reference's CUSUM loop is logic.py:152-221, the info bars are
+    # stubs at logic.py:224-261) ---
+    try:
+        from finmlkit_tpu.bar.indexers import (cusum_bar_indexer,
+                                               imbalance_bar_indexer,
+                                               run_bar_indexer)
+        px32 = (tkj.astype(jnp.float32) * np.float32(q.tick_size))
+        sigj = jax.device_put(jnp.full((N_TRADES,), 2e-5, jnp.float32))
+
+        def cus():
+            _, ci_c, _ = cusum_bar_indexer(tsj, px32, sigj, 1e-9, 25.0,
+                                           dtype=jnp.float32)
+            return jax.block_until_ready(ci_c)
+
+        t0 = time.time()
+        ci_c = cus()
+        t_cusum_cold = time.time() - t0
+        t_cusum_idx, ci_c = _bench(cus, k=1, warm=0)
+        print(f"# cusum bar indexer (device, {N_TRADES/1e6:.0f}M trades): "
+              f"{int(ci_c.shape[0])-1:,} bars cold {t_cusum_cold:.1f}s "
+              f"warm {t_cusum_idx*1000:.0f}ms = "
+              f"{N_TRADES/t_cusum_idx/1e6:.1f}M tr/s", file=sys.stderr)
+        extra["config6_info_bars"] = {
+            "t_cusum_index_ms": round(t_cusum_idx * 1e3, 1),
+            "cusum_bars": int(ci_c.shape[0]) - 1,
+            "cusum_trades_per_sec": round(N_TRADES / t_cusum_idx),
+        }
+        _touch()
+
+        def imb():
+            _, ci_i, _ = imbalance_bar_indexer(
+                tsj, sdj, expected_ticks_init=1000.0,
+                expected_rate_init=0.03, alpha_ticks=0.05,
+                alpha_rate=0.05, dtype=jnp.float32)
+            return jax.block_until_ready(ci_i)
+
+        t0 = time.time()
+        ci_i = imb()
+        t_imb_cold = time.time() - t0
+        t_imb, ci_i = _bench(imb, k=1, warm=0)
+        print(f"# imbalance bar indexer (adaptive EMA, device): "
+              f"{int(ci_i.shape[0])-1:,} bars cold {t_imb_cold:.1f}s "
+              f"warm {t_imb*1000:.0f}ms = "
+              f"{N_TRADES/t_imb/1e6:.1f}M tr/s", file=sys.stderr)
+        extra["config6_info_bars"].update({
+            "t_imbalance_index_ms": round(t_imb * 1e3, 1),
+            "imbalance_bars": int(ci_i.shape[0]) - 1,
+            "imbalance_trades_per_sec": round(N_TRADES / t_imb),
+        })
+        _touch()
+
+        def runb():
+            _, ci_r, _ = run_bar_indexer(
+                tsj, sdj, expected_ticks_init=1000.0,
+                expected_rate_init=0.5, alpha_ticks=0.05,
+                alpha_rate=0.05, dtype=jnp.float32)
+            return jax.block_until_ready(ci_r)
+
+        t0 = time.time()
+        ci_r = runb()
+        t_run_cold = time.time() - t0
+        t_run, ci_r = _bench(runb, k=1, warm=0)
+        print(f"# run bar indexer (adaptive EMA, device): "
+              f"{int(ci_r.shape[0])-1:,} bars cold {t_run_cold:.1f}s "
+              f"warm {t_run*1000:.0f}ms = "
+              f"{N_TRADES/t_run/1e6:.1f}M tr/s", file=sys.stderr)
+        extra["config6_info_bars"].update({
+            "t_run_index_ms": round(t_run * 1e3, 1),
+            "run_bars": int(ci_r.shape[0]) - 1,
+            "run_trades_per_sec": round(N_TRADES / t_run),
+        })
+    except Exception as e:
+        print(f"# info-bar config failed: {e!r}", file=sys.stderr)
     _touch()
 
     # --- config 4: multi-symbol labeling (vmapped TBM over 4 symbols) ---

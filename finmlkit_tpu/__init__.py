@@ -32,6 +32,12 @@ if os.environ.get("FMKT_DISABLE_X64", "0") != "1":
 # cost seconds-to-minutes on remote-compile TPU transports; a local cache
 # makes every later process start warm. FMKT_COMPILE_CACHE overrides the
 # location ("0" disables; unset -> ~/.cache/finmlkit_tpu/jax).
+#
+# NOTE: this is a process-global jax.config side effect — co-resident JAX
+# code in the same process shares the cache dir (documented in README).
+# The 0.05 s compile-time floor keeps trivial programs from growing the
+# on-disk cache unboundedly while still catching every fused pipeline
+# program (all multi-second compiles on this transport).
 _cache = os.environ.get("FMKT_COMPILE_CACHE")
 if _cache != "0":
     if not _cache:
@@ -41,7 +47,7 @@ if _cache != "0":
         os.makedirs(_cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
     except Exception:  # noqa: BLE001 — cache is best-effort
         pass
 

@@ -22,6 +22,7 @@ reference leaves in Numba machine code. A device sort fallback
 Everything here uses 1-D (rows, 128) planes: (C, n) row-stacked arrays
 execute ~200x slower on this TPU (the round-1 design's core mistake).
 """
+import os
 from functools import partial
 
 import jax
@@ -391,21 +392,24 @@ def _boundary_state(rowtail, planes_in, pos):
     return st
 
 
-@partial(jax.jit, static_argnames=("n_pad", "interpret"))
+@partial(jax.jit, static_argnames=("n_pad", "interpret", "kernel"))
 def _fused_packed_v2_jit(price_ticks, amount_units, sides, ci, n_pad: int,
-                         interpret: bool):
+                         interpret: bool, kernel: str = "v2"):
     """Boundary-output pipeline in ONE compiled program: prep -> per-row
     tail scan (no full-plane materialization) -> boundary-state fixup at
     the ~n_bars close positions -> packed 3-buffer readback.
 
     Same output layout as ``_fused_packed_jit`` (consumed by
     ``_unpack_raw``/``_convert_host``); ~24x less HBM write traffic in
-    the scan stage.
+    the scan stage. ``kernel`` selects the rowtail scan engine: ``"v2"``
+    (per-quantity VPU lane scans) or ``"v4"`` (MXU-offloaded reductions;
+    bit-identical output, see ops/fused_scan.py).
     """
-    from ..ops.fused_scan import bar_scan_rowtails
+    from ..ops.fused_scan import bar_scan_rowtails, bar_scan_rowtails_v4
 
     planes_in = _prep_planes(price_ticks, amount_units, sides, ci, n_pad)
-    rowtail = bar_scan_rowtails(*planes_in, interpret=interpret)
+    scan_fn = bar_scan_rowtails_v4 if kernel == "v4" else bar_scan_rowtails
+    rowtail = scan_fn(*planes_in, interpret=interpret)
     ticks_plane = planes_in[0]
     n_elems = ticks_plane.shape[0] * 128
 
@@ -460,11 +464,11 @@ def _fused_packed_v2_jit(price_ticks, amount_units, sides, ci, n_pad: int,
 
 
 def fused_packed_v2_device(price_ticks, amount_units, ci, sides,
-                           interpret: bool = False):
+                           interpret: bool = False, kernel: str = "v2"):
     """Single-dispatch boundary-output fused products (v2 pipeline)."""
     n = int(price_ticks.shape[0])
     return _fused_packed_v2_jit(price_ticks, amount_units, sides, ci,
-                                _n_rows(n) * 128, interpret)
+                                _n_rows(n) * 128, interpret, kernel)
 
 
 @partial(jax.jit, static_argnames=("n_pad", "C", "interpret",
@@ -498,15 +502,13 @@ def fused_packed_withmed_device(price_ticks, amount_units, ci, sides,
     """
     from ..ops.pallas_scan import _runs_on_tpu
 
-    if C is None:
-        C = _ROWSORT_C
     n = int(price_ticks.shape[0])
     n_pad = _n_rows(n) * 128
-    if n_pad % C != 0 or n_pad // C < 2:
-        return None
     if max_count is None:
         max_count = int(np.max(np.diff(np.asarray(ci))))
-    if max_count > C:
+    if C is None:
+        C = _rowsort_pick_C(max_count, n_pad)
+    if n_pad % C != 0 or n_pad // C < 2 or max_count > C:
         return None
     use_pallas = interpret or _runs_on_tpu(price_ticks)
     return _products_withmed_jit(price_ticks, amount_units, sides, ci,
@@ -628,7 +630,27 @@ def median_sort_device(amounts_f32, ci, interpret: bool = False):
                                   use_pallas)
 
 
-_ROWSORT_C = 32768      # row width: one scan BLOCK per row
+_ROWSORT_C = 32768      # max row width: one scan BLOCK per row
+
+
+def _rowsort_pick_C(max_count: int, n_pad: int) -> int:
+    """Adaptive row width for the batched-row-sort median engine.
+
+    XLA's TPU sort is comparator-network-bound: batched row sorts cost
+    ~n*log2(C)^2, so the narrowest row that still satisfies the
+    one-boundary-per-bar invariant (max bar length <= C) wins. The floor
+    (default 4096, FMKT_ROWSORT_CMIN) balances the sort saving against
+    the two-run bisection cost, which grows with the number of
+    row-spanning bars (~n_pad/C). Measured on chip at 39M trades:
+    see scripts/probe_median_C.py / BENCH_NOTES.md round 5.
+    """
+    c_min = int(os.environ.get("FMKT_ROWSORT_CMIN", "4096"))
+    C = max(c_min, 512)
+    while C < max_count or (n_pad % C != 0) or (n_pad // C < 2):
+        C *= 2
+        if C > _ROWSORT_C:
+            return C  # caller falls back to the flat sort
+    return C
 
 
 @partial(jax.jit, static_argnames=("n_pad", "C", "interpret",
@@ -763,24 +785,27 @@ def _median_rowsort_whole_jit(ci, amounts_f32, n_pad: int, C: int,
 
 
 def median_rowsort_device(amounts_f32, ci, interpret: bool = False,
-                          max_count: int = None, C: int = _ROWSORT_C):
+                          max_count: int = None, C: int = None):
     """Per-bar np.median brackets via batched row sorts (DEFAULT engine).
 
     ~2x faster than :func:`median_sort_device` at monthly trade counts
-    (82 ms vs 213 ms sort stage at 39M). Requires the longest bar to fit
-    one row (``max_count <= C``, from the caller's host ``ci`` or one
-    tiny device readback) so every spanning bar has exactly two sorted
-    fragments; falls back to the flat one-sort engine otherwise.
+    even at the widest rows (82 ms vs 213 ms sort stage at 39M, C=32768);
+    the row width adapts down to the longest bar via
+    :func:`_rowsort_pick_C` (narrower rows = shallower comparator
+    networks). Requires the longest bar to fit one row (``max_count <=
+    C``, from the caller's host ``ci`` or one tiny device readback) so
+    every spanning bar has exactly two sorted fragments; falls back to
+    the flat one-sort engine otherwise.
     """
     from ..ops.pallas_scan import _runs_on_tpu
 
     n = int(amounts_f32.shape[0])
     n_pad = _n_rows(n) * 128
-    if n_pad % C != 0 or n_pad // C < 2:
-        return median_sort_device(amounts_f32, ci, interpret=interpret)
     if max_count is None:
         max_count = int(np.max(np.diff(np.asarray(ci))))
-    if max_count > C:
+    if C is None:
+        C = _rowsort_pick_C(max_count, n_pad)
+    if n_pad % C != 0 or n_pad // C < 2 or max_count > C:
         return median_sort_device(amounts_f32, ci, interpret=interpret)
     use_pallas = interpret or _runs_on_tpu(amounts_f32)
     return _median_rowsort_whole_jit(ci, amounts_f32, n_pad, C,
@@ -961,7 +986,7 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
     - ``"rowsort"`` (DEFAULT): batched row-sort engine
       (:func:`median_rowsort_device`) — host-independent, ~100 ms at 39M
       trades on this chip (82 ms sort stage). Falls back to ``"sort"``
-      when a single bar exceeds the spanning-bar pad (2^17 trades).
+      when a single bar exceeds the row width (2^15 = 32768 trades).
     - ``"sort"``: flat one-sort device engine
       (:func:`median_sort_device`) — ~220 ms at 39M. Host-independent
       like rowsort (the host path's cost is hostage to whatever machine
@@ -1039,10 +1064,13 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
             amounts_f32 = (amount_units.astype(jnp.float64)
                            * amount_scale).astype(jnp.float32)
     if packed:
-        dev = (fused_packed_v2_device if scan == "rowtail"
-               else fused_packed_device)
-        bufs = dev(price_ticks, amount_units, ci, sides,
-                   interpret=interpret)
+        if scan in ("rowtail", "rowtail4"):
+            bufs = fused_packed_v2_device(
+                price_ticks, amount_units, ci, sides, interpret=interpret,
+                kernel="v4" if scan == "rowtail4" else "v2")
+        else:
+            bufs = fused_packed_device(price_ticks, amount_units, ci,
+                                       sides, interpret=interpret)
     else:
         dev = fused_raw_device_onejit if one_dispatch else fused_raw_device
         bufs = dev(price_ticks, amount_units, ci, sides, interpret=interpret)
@@ -1050,6 +1078,11 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
         _start_host_copies(bufs)
         med = native.seg_median_pair(amounts_host, ci_host)
         if med is None:  # host library raced away; device fallback
+            if amounts_f32 is None:  # host branch never derives it above
+                pad = int(price_ticks.shape[0]) - len(amounts_host)
+                amounts_f32 = jnp.asarray(np.concatenate(
+                    [amounts_host, np.zeros(pad, np.float32)]) if pad > 0
+                    else amounts_host[:price_ticks.shape[0]])
             med = median_sort_device(amounts_f32, ci, interpret=interpret)
     else:
         # device engine as its own short dispatch sequence; queued behind

@@ -156,6 +156,100 @@ def dollar_bar_indexer(timestamps: jnp.ndarray, prices: jnp.ndarray,
 
 
 _DOLLAR_SHIFT = 6  # >>6 keeps a month of tick*unit dollars inside int64
+_BIAS32 = np.int32(-2147483648)
+
+
+def _pair_lt(ah, al, bh, bl):
+    """(ah, al) < (bh, bl) for int64 (hi, unsigned-lo) int32 pairs."""
+    return (ah < bh) | ((ah == bh) & ((al + _BIAS32) < (bl + _BIAS32)))
+
+
+def _gather_lane(x2d, pos):
+    """Two-level gather: row fetch then lane select (bar/fused.py _g)."""
+    rows = x2d[pos >> 7]
+    return rows[jnp.arange(pos.shape[0]), pos & 127]
+
+
+@partial(jax.jit, static_argnames=("n_pad",))
+def _dollar_prep_pallas(price_ticks, amount_units, n_pad: int):
+    """Dollar-unit planes for the Pallas pair cumsum (one jit)."""
+    d = (price_ticks.astype(jnp.int64) * amount_units) >> _DOLLAR_SHIFT
+    pad = n_pad - d.shape[0]
+    if pad:
+        d = jnp.concatenate([d, jnp.zeros((pad,), jnp.int64)])
+    hi = (d >> 32).astype(jnp.int32).reshape(-1, 128)
+    lo = d.astype(jnp.uint32).astype(jnp.int32).reshape(-1, 128)
+    return hi, lo
+
+
+@partial(jax.jit, static_argnames=("max_bars", "n"))
+def _dollar_boundaries_blocked(chi, clo, threshold: float, max_bars: int,
+                               n: int):
+    """Boundary positions from the pair-encoded dollar cumsum WITHOUT
+    elementwise gathers.
+
+    ``searchsorted`` of the ~n_bars targets into the 39M-element cumsum
+    is XLA's serial-gather path (~26 binary-search steps of one-element
+    gathers each — the dominant cost of the round-4 dollar indexer at
+    172 ms). Replaced by rank computation over the blocked layout:
+
+    1. integer targets ``u_m = ceil(m * threshold)`` (exact: the cumsum
+       is integral, so ``c >= m*thr  <=>  c >= ceil(m*thr)``);
+    2. a broadcast compare against the ~n_rows/128 block tails (rank of
+       each target among blocks — vector ops, no gathers);
+    3. one ROW gather (128 contiguous lanes — the fast gather shape on
+       this TPU) of row tails per target + a compare-count;
+    4. one row gather of the trade-level cumsum row + compare-count.
+
+    Positions beyond the stream resolve to >= n and are dropped by the
+    caller's count filter, exactly like the searchsorted path.
+    """
+    n_rows = chi.shape[0]
+    r2 = (n_rows + 127) // 128
+    m = jnp.arange(1, max_bars + 1, dtype=jnp.float64)
+    u = jnp.ceil(m * threshold).astype(jnp.int64)
+    uh = (u >> 32).astype(jnp.int32)
+    ul = u.astype(jnp.uint32).astype(jnp.int32)
+
+    # row tails, padded to an (r2, 128) grid with +inf pairs
+    rt_h = chi[:, -1]
+    rt_l = clo[:, -1]
+    pad = r2 * 128 - n_rows
+    if pad:
+        rt_h = jnp.concatenate([rt_h, jnp.full((pad,), 0x7FFFFFFF,
+                                               jnp.int32)])
+        rt_l = jnp.concatenate([rt_l, jnp.full((pad,), -1, jnp.int32)])
+    rt_h2 = rt_h.reshape(r2, 128)
+    rt_l2 = rt_l.reshape(r2, 128)
+    bt_h = rt_h2[:, -1]
+    bt_l = rt_l2[:, -1]
+
+    # 1) rank among block tails: (max_bars, r2) broadcast compare
+    blk = jnp.sum(_pair_lt(bt_h[None, :], bt_l[None, :],
+                           uh[:, None], ul[:, None]),
+                  axis=1, dtype=jnp.int32)
+    blk_c = jnp.minimum(blk, r2 - 1)
+
+    # 2) row within block: gather the 128 row tails of each target's block
+    g_h = rt_h2[blk_c]
+    g_l = rt_l2[blk_c]
+    rin = jnp.sum(_pair_lt(g_h, g_l, uh[:, None], ul[:, None]),
+                  axis=1, dtype=jnp.int32)
+    row = blk_c * 128 + rin
+    row_c = jnp.minimum(row, n_rows - 1)
+
+    # 3) lane within row: gather each target's cumsum row
+    c_h = chi[row_c]
+    c_l = clo[row_c]
+    lane = jnp.sum(_pair_lt(c_h, c_l, uh[:, None], ul[:, None]),
+                   axis=1, dtype=jnp.int32)
+    naive = row_c.astype(jnp.int64) * 128 + lane.astype(jnp.int64)
+
+    naive = jnp.maximum(naive, 1)  # threshold check starts at trade 1
+    mi = jnp.arange(1, max_bars + 1, dtype=jnp.int64)
+    b = mi + jax.lax.cummax(naive - mi)
+    count = jnp.sum(b <= n - 1)
+    return b, count
 
 
 def dollar_bar_indexer_q(timestamps, price_ticks, amount_units, threshold,
@@ -165,18 +259,42 @@ def dollar_bar_indexer_q(timestamps, price_ticks, amount_units, threshold,
     Dollar flow per trade is ``ticks * units`` (int64), right-shifted by
     6 bits so the monthly cumsum stays inside int64 (the shift discards
     < 1e-6 dollars per trade). The cumsum is exact and monotone, so
-    boundaries come from the same batched searchsorted + cummax bump as
-    the f64 path.
+    boundaries are threshold-crossing ranks via the blocked compare path
+    (:func:`_dollar_boundaries_blocked`; the round-4 searchsorted
+    formulation measured 172 ms at 39M trades — see BENCH_EXTRA.json for
+    the round-5 number). The cumsum runs as the Pallas pair scan on TPU
+    and as jnp.cumsum off-TPU; the rank logic is identical on both.
     """
-    d = (price_ticks.astype(jnp.int64) * amount_units) >> _DOLLAR_SHIFT
-    c = jnp.cumsum(d)
+    from ..ops.pallas_scan import _cumsum_2d_i64, _runs_on_tpu
+
     thr_scaled = float(threshold) / (tick_size * amount_scale) / (1 << _DOLLAR_SHIFT)
-    total = float(c[-1])
-    max_bars = min(max(int(total / thr_scaled) + 1, 1), c.shape[0])
-    b, count = _dollar_boundaries(c, thr_scaled, max_bars)
+    n = int(price_ticks.shape[0])
+    on_tpu = _runs_on_tpu(price_ticks)
+    n_pad = ((n + 32767) // 32768) * 32768
+    if on_tpu:
+        hi, lo = _dollar_prep_pallas(price_ticks, amount_units, n_pad)
+        chi, clo = _cumsum_2d_i64(hi, lo)
+    else:  # same blocked rank path, jnp cumsum (Pallas needs the TPU)
+        d = (price_ticks.astype(jnp.int64) * amount_units) >> _DOLLAR_SHIFT
+        c = jnp.cumsum(d)
+        c = jnp.concatenate(
+            [c, jnp.broadcast_to(c[-1:], (n_pad - n,))]) if n_pad > n else c
+        chi = (c >> 32).astype(jnp.int32).reshape(-1, 128)
+        clo = c.astype(jnp.uint32).astype(jnp.int32).reshape(-1, 128)
+    last = n - 1
+    hi_v = int(chi[last >> 7, last & 127])
+    lo_v = int(clo[last >> 7, last & 127]) & 0xFFFFFFFF
+    total = float((hi_v << 32) | lo_v)
+    max_bars = min(max(int(total / thr_scaled) + 1, 1), n)
+    b, count = _dollar_boundaries_blocked(chi, clo, thr_scaled,
+                                          max_bars, n)
     count = int(count)
     ci = jnp.concatenate([jnp.zeros((1,), jnp.int64), b[:count]])
-    return timestamps[ci], ci
+    ts2 = jnp.concatenate(
+        [timestamps,
+         jnp.zeros(((-n) % 128,), timestamps.dtype)]).reshape(-1, 128) \
+        if n % 128 else timestamps.reshape(-1, 128)
+    return _gather_lane(ts2, ci.astype(jnp.int32)), ci
 
 
 def volume_bar_indexer_q(timestamps, amount_units, threshold, amount_scale):

@@ -114,6 +114,11 @@ class BarBuilderBase(ABC):
         mode = os.environ.get("FMKT_INDEXER", "auto")
         if mode in ("host", "device"):
             return mode
+        # auto: the device path is only integer-exact when quantization
+        # succeeded (self._units); the float cumsum indexers can pick
+        # different boundaries than the exact host loop near thresholds
+        if self._units is None:
+            return "host"
         return "device" if _runs_on_tpu(self._ts) else "host"
 
     # ------------------------------------------------------------------

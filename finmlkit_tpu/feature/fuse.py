@@ -102,10 +102,19 @@ def plan(features, col_specs: Dict[str, jax.ShapeDtypeStruct], ts_spec):
     """
     env_specs = dict(col_specs)
     graph, host = [], []
+    produced: set = set()
     for feat in features:
         t = feat.transform
         ok = isinstance(t, CoreTransform) and \
             all(r in env_specs for r in t.requires)
+        # two graph features writing the same output column would
+        # collapse to one entry in the graph's output dict (each feature
+        # must keep its own result, as on the per-feature path) — demote
+        # the later one to a host node
+        if ok and produced.intersection(_out_cols(t)):
+            logger.debug(f"feature {feat.name}: host node "
+                         "(duplicate output column)")
+            ok = False
         out_spec = None
         if ok:
             try:
@@ -119,6 +128,7 @@ def plan(features, col_specs: Dict[str, jax.ShapeDtypeStruct], ts_spec):
         if ok:
             for name, spec in zip(_out_cols(t), out_spec):
                 env_specs[name] = spec
+            produced.update(_out_cols(t))
             graph.append(feat)
         else:
             host.append(feat)

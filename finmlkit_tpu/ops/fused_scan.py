@@ -36,6 +36,7 @@ spread ticks or trades is physically implausible; the per-trade inputs
 are int32 to begin with). The in-bar rel_ct / base-fill subtractions
 are differences within one bar for the same reason.
 """
+import os
 from functools import partial
 
 import jax
@@ -823,6 +824,464 @@ def _rowtail_kernel_v3(ticks_ref, ulo_ref, uhi_ref, dlo_ref, dhi_ref,
 
     pad = jnp.zeros((ROWS, LANES - N_ROWTAIL), jnp.int32)
     out_ref[...] = jnp.concatenate(cols + [pad], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# v4: MXU-offloaded lane phases — reduce, don't scan, the sum-only planes
+# ---------------------------------------------------------------------------
+#
+# Key observation (VERDICT r4): consumers of the rowtail output only ever
+# read each quantity's value at a ROW TAIL (lane 127), yet v2 computes a
+# full inclusive lane scan (7 log-shift combine steps, ~4-12 VPU lane ops
+# each) for all ~35 quantities. v4 restructures the lane phase:
+#
+# - Per-bar SUM quantities (buy/sell/total volume & dollars, tick counts,
+#   spread) become lane REDUCTIONS (``jnp.sum``) over exact 16-bit
+#   components — 1 reduce per component instead of a masked log-shift
+#   scan with carry tracking. Component sums over <=128 lanes are bounded
+#   by 128*65535 < 2^23, so int32 never wraps and the (hi, lo) pair
+#   reconstructs exactly via the split-carry trick.
+# - The per-element prefixes that ARE still needed in-kernel (signed
+#   volume/dollar/tick imbalances feeding the in-bar extremum tails, and
+#   the bar-open base values) ride the MXU as triangular matmuls:
+#   ``prefix = comps_f32 @ upper_triangular_ones``. All components are
+#   bounded by 2^23 so float32 accumulation is exact (every partial sum
+#   is an integer < 2^24).
+# - Segmented extremum row tails become one shared suffix-mark mask (one
+#   strict-lower-triangular matmul) plus a masked ``jnp.max``/``min``
+#   per quantity — the extremum over the row's last segment.
+# - Row phases (combining the 256 per-row tails down sublanes) are
+#   unchanged narrow scans: v3 measured them as NOT the bottleneck.
+#
+# Output is BIT-IDENTICAL to bar_scan_rowtails (v2 is the parity oracle):
+# all integer arithmetic is exact, and the float32 in-bar imbalance
+# extrema are computed from the same exact int64 pairs with the same
+# single pair->f32 rounding.
+
+# f32 matmul precision for the v4 MXU scans. Measured on chip
+# (scripts/probe_scan_kernels.py): HIGHEST (6-pass f32) is bit-exact for
+# the <2^23 integer components and costs only ~1 ms over DEFAULT at 39M
+# trades; DEFAULT (bf16x1) is INEXACT (psu/cv/cd extrema mismatch) and
+# Mosaic rejects HIGH. The MXU is therefore not the kernel's bottleneck
+# and exactness is free — HIGHEST, not configurable.
+_V4_PRECISION = jax.lax.Precision.HIGHEST
+
+# v4 SMEM carry slots (independent of the v2 layout)
+_V_CV, _V_CD, _V_BU, _V_BD, _V_TU, _V_TD = 0, 2, 4, 6, 8, 10
+_V_TB, _V_SP, _V_CT = 12, 13, 14
+_V_CVB, _V_CDB, _V_CTB = 15, 17, 19
+_V_HIGH, _V_LOW, _V_SPMAX = 20, 21, 22
+_V_CTMIN, _V_CTMAX = 23, 24
+
+
+def _row_scan(xs, combine):
+    """Inclusive scan down the rows of one or more (ROWS, 1) arrays."""
+    r = xs[0].shape[0]
+    ys = xs
+    shift = 1
+    while shift < r:
+        shifted = tuple(_roll(y, shift, 0) for y in ys)
+        mask = _ge(ys[0].shape, 0, shift)
+        comb = combine(shifted, ys)
+        ys = tuple(jnp.where(mask, c, y) for c, y in zip(comb, ys))
+        shift *= 2
+    return ys
+
+
+def _pair_add(h1, l1, h2, l2):
+    """Exact int64 addition on (hi, lo) int32 pairs."""
+    lo = l1 + l2
+    ovf = ((lo + _BIAS) < (l2 + _BIAS)).astype(jnp.int32)
+    return h1 + h2 + ovf, lo
+
+
+def _comps4_to_pair(a, b, c, d):
+    """Exact (hi, lo) pair from 16-bit-component sums.
+
+    value = a + b*2^16 + c*2^32 + d*2^48 with int32 components (a, b may
+    be any int32 from signed sums; arithmetic is exact mod 2^64 given the
+    true value fits int64, mirroring the v2 kernel's wrap semantics).
+    """
+    mid = b + (a >> 16)                      # arithmetic shift = floor
+    lo = ((mid & _M16) << 16) | (a & _M16)
+    hi = c + (mid >> 16) + (d << 16)
+    return hi, lo
+
+
+def _rowtail_kernel_v4(ticks_ref, ulo_ref, uhi_ref, dlo_ref, dhi_ref,
+                       side_ref, flags_ref, spread_ref, out_ref, ci32, cf32,
+                       ROWS: int = ROWS, red_dots: bool = False):
+    i = pl.program_id(0)
+    first = i == 0
+    z = jnp.zeros((), jnp.int32)
+    zf = jnp.zeros((), jnp.float32)
+    lastrow = (ROWS - 1, 0)
+    f32 = jnp.float32
+
+    ticks = ticks_ref[...]
+    ulo = ulo_ref[...]
+    uhi = uhi_ref[...]
+    dlo = dlo_ref[...]
+    dhi = dhi_ref[...]
+    side = side_ref[...]
+    flags = flags_ref[...]
+    spread = spread_ref[...]
+
+    valid = (flags & 1) != 0
+    mark = (flags & 2) != 0
+    mark32 = mark.astype(jnp.int32)
+    is_buy = side == 1
+    is_sell = side == -1
+    traded = valid & (side != 0)
+
+    cols = [None] * N_ROWTAIL
+    row0 = ~_ge((ROWS, 1), 0, 1)             # (ROWS, 1) True on row 0
+
+    def c32(k):
+        return jnp.where(first, z, ci32[0, k])
+
+    # ---- MXU helpers ------------------------------------------------------
+    # triangular / ones matrices from iota compares (Pallas rejects
+    # captured array constants). Components are < 2^23 so f32 matmul
+    # accumulation is exact at any precision >= bf16x3 (every partial sum
+    # is an integer < 2^24; see module docstring) — HIGHEST for safety.
+    r_io = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    c_io = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    U = (r_io <= c_io).astype(f32)           # inclusive lane prefix
+    SL = (r_io > c_io).astype(f32)           # strict suffix count
+    ones1 = jnp.ones((LANES, 1), f32)
+
+    def dotf(x, w):
+        return jax.lax.dot_general(
+            x, w, (((1,), (0,)), ((), ())),
+            precision=_V4_PRECISION, preferred_element_type=f32)
+
+    # ---- shared segment structure ----------------------------------------
+    mk_f = mark32.astype(f32)
+    aft = dotf(mk_f, SL)                     # marks strictly after lane
+    tailm = aft == zf                        # lanes in the row's last seg
+    lastm = mark & tailm                     # the row's last mark
+    # any mark in the row = marks after lane 0 + mark at lane 0
+    rowmark = (aft[:, :1] + mk_f[:, :1]) > zf
+    rowmark32 = rowmark.astype(jnp.int32)
+    (seenR,) = _row_scan((rowmark32,), _c_or)
+    seenRb = seenR != 0
+
+    # ---- 16-bit components ------------------------------------------------
+    def comps4f(hi, lo):
+        return ((lo & _M16).astype(f32),
+                (((lo >> 16) & _M16)).astype(f32),
+                (hi & _M16).astype(f32),
+                (((hi >> 16) & _M16)).astype(f32))
+
+    u4 = comps4f(uhi, ulo)
+    d4 = comps4f(dhi, dlo)
+    bu4 = tuple(jnp.where(is_buy, x, zf) for x in u4)
+    su4 = tuple(jnp.where(is_sell, x, zf) for x in u4)
+    bd4 = tuple(jnp.where(is_buy, x, zf) for x in d4)
+    sd4 = tuple(jnp.where(is_sell, x, zf) for x in d4)
+    cv4 = tuple(b - s for b, s in zip(bu4, su4))
+    cd4 = tuple(b - s for b, s in zip(bd4, sd4))
+    tbm = (is_buy & valid).astype(jnp.int32)
+    tsm = (is_sell & valid).astype(jnp.int32)
+    ct_in = tbm - tsm
+    ct_inf = ct_in.astype(f32)
+    spv = jnp.where(valid, spread, z)
+    sp_a = (spv & _M16).astype(f32)
+    sp_b = ((spv >> 16) & _M16).astype(f32)
+
+    # ---- lane prefixes on the MXU (only the imbalance chains) ------------
+    cv4s = tuple(dotf(x, U) for x in cv4)
+    cd4s = tuple(dotf(x, U) for x in cd4)
+    ctLf = dotf(ct_inf, U)
+
+    # ---- lane reductions for the sum-only quantities ----------------------
+    def red(xf):
+        if red_dots:            # ride the MXU instead of a VPU reduce
+            return dotf(xf, ones1)
+        return jnp.sum(xf, axis=1, keepdims=True, dtype=f32)
+
+    def pair_rows(c4):
+        a, b, c, d = [x.astype(jnp.int32) for x in c4]
+        return _comps4_to_pair(a, b, c, d)
+
+    bu_p = pair_rows(tuple(red(x) for x in bu4))
+    bd_p = pair_rows(tuple(red(x) for x in bd4))
+    tu_p = pair_rows(tuple(red(x) for x in u4))
+    td_p = pair_rows(tuple(red(x) for x in d4))
+    cv_p = pair_rows(tuple(x[:, LANES - 1:] for x in cv4s))
+    cd_p = pair_rows(tuple(x[:, LANES - 1:] for x in cd4s))
+    tb_r = red((is_buy & valid).astype(f32)).astype(jnp.int32)
+    sp_r = red(sp_a).astype(jnp.int32) + \
+        (red(sp_b).astype(jnp.int32) << 16)
+    ct_r = ctLf[:, LANES - 1:].astype(jnp.int32)
+
+    # ---- row phases: prefix sums ------------------------------------------
+    def row_pair_scan(hp, lp, slot):
+        chi, clo = c32(slot), c32(slot + 1)
+        hs, ls = _row_scan((hp, lp), _c_sum_pair)
+        lo_f = ls + clo
+        ovf = ((lo_f + _BIAS) < (ls + _BIAS)).astype(jnp.int32)
+        hi_f = hs + chi + ovf
+        ci32[0, slot] = hi_f[lastrow]
+        ci32[0, slot + 1] = lo_f[lastrow]
+        return hi_f, lo_f, chi, clo
+
+    cvh, cvl, cv_ch, cv_cl = row_pair_scan(*cv_p, _V_CV)
+    cdh, cdl, cd_ch, cd_cl = row_pair_scan(*cd_p, _V_CD)
+    buh, bul, _, _ = row_pair_scan(*bu_p, _V_BU)
+    bdh, bdl, _, _ = row_pair_scan(*bd_p, _V_BD)
+    tuh, tul, _, _ = row_pair_scan(*tu_p, _V_TU)
+    tdh, tdl, _, _ = row_pair_scan(*td_p, _V_TD)
+    suh, sul = _pair_sub(buh, bul, cvh, cvl)    # psu = pbu - pcv
+    sdh, sdl = _pair_sub(bdh, bdl, cdh, cdl)
+
+    def row_i32_scan(v, slot):
+        carry = c32(slot)
+        (s,) = _row_scan((v,), _c_sum)
+        s = s + carry
+        ci32[0, slot] = s[lastrow]
+        return s, carry
+
+    tb, _ = row_i32_scan(tb_r, _V_TB)
+    sp, _ = row_i32_scan(sp_r, _V_SP)
+    ct, ct_carry = row_i32_scan(ct_r, _V_CT)
+    ts_ = tb - ct                                # pts = ptb - pct
+
+    L = ROWTAIL_LANES
+    cols[L["pbu_hi"]], cols[L["pbu_lo"]] = buh, bul
+    cols[L["psu_hi"]], cols[L["psu_lo"]] = suh, sul
+    cols[L["pbd_hi"]], cols[L["pbd_lo"]] = bdh, bdl
+    cols[L["psd_hi"]], cols[L["psd_lo"]] = sdh, sdl
+    cols[L["ptu_hi"]], cols[L["ptu_lo"]] = tuh, tul
+    cols[L["ptd_hi"]], cols[L["ptd_lo"]] = tdh, tdl
+    cols[L["ptb"]], cols[L["pts"]], cols[L["psp"]] = tb, ts_, sp
+
+    # ---- segmented extremum row tails -------------------------------------
+    tmv = tailm & valid
+    tmt = tailm & traded
+
+    def tail_red(v, is_max):
+        return (jnp.max if is_max else jnp.min)(v, axis=1, keepdims=True)
+
+    def row_seg_i32(tailv, slot, name, is_max, ident):
+        m, _ = _row_scan((tailv, rowmark32),
+                         _c_seg_max if is_max else _c_seg_min)
+        carry = jnp.where(first, ident, ci32[0, slot])
+        comb = jnp.maximum if is_max else jnp.minimum
+        m_f = jnp.where(seenRb, m, comb(m, carry))
+        cols[L[name]] = m_f
+        ci32[0, slot] = m_f[lastrow]
+
+    def row_seg_f32(tailv, slot_f, name, is_max, ident):
+        m, _ = _row_scan((tailv, rowmark32),
+                         _c_seg_max if is_max else _c_seg_min)
+        carry = jnp.where(first, ident, cf32[0, slot_f])
+        comb = jnp.maximum if is_max else jnp.minimum
+        m_f = jnp.where(seenRb, m, comb(m, carry))
+        cols[L[name]] = jax.lax.bitcast_convert_type(m_f, jnp.int32)
+        cf32[0, slot_f] = m_f[lastrow]
+
+    row_seg_i32(tail_red(jnp.where(tmv, ticks, _I32MIN), True),
+                _V_HIGH, "high", True, _I32MIN)
+    row_seg_i32(tail_red(jnp.where(tmv, ticks, _I32MAX), False),
+                _V_LOW, "low", False, _I32MAX)
+    row_seg_i32(tail_red(jnp.where(tmv, spread, np.int32(-1)), True),
+                _V_SPMAX, "spmax", True, _I32MIN)
+
+    # ---- bar-open bases ---------------------------------------------------
+    # local exclusive prefix components at the row's last mark (one
+    # masked reduction per component — exactly one lane qualifies)
+    def extract4(s4, x4):
+        return tuple(red(jnp.where(lastm, s - x, zf))
+                     for s, x in zip(s4, x4))
+
+    cvb_lh, cvb_ll = pair_rows(extract4(cv4s, cv4))
+    cdb_lh, cdb_ll = pair_rows(extract4(cd4s, cd4))
+    ctb_l = red(jnp.where(lastm, ctLf - ct_inf, zf)).astype(jnp.int32)
+
+    # absolute exclusive row prefixes (value before the row's lane 0)
+    def row_excl_pair(hi_incl, lo_incl, chi, clo):
+        he = jnp.where(row0, chi, _roll(hi_incl, 1, 0))
+        le = jnp.where(row0, clo, _roll(lo_incl, 1, 0))
+        return he, le
+
+    cv_eh, cv_el = row_excl_pair(cvh, cvl, cv_ch, cv_cl)
+    cd_eh, cd_el = row_excl_pair(cdh, cdl, cd_ch, cd_cl)
+    ct_e = jnp.where(row0, ct_carry, _roll(ct, 1, 0))
+
+    def row_fill_pair(bh, bl, slot, hi_name, lo_name):
+        chi, clo = c32(slot), c32(slot + 1)
+        fh, fl, _ = _row_scan(
+            (jnp.where(rowmark, bh, z), jnp.where(rowmark, bl, z),
+             rowmark32), _c_last_pair)
+        fh = jnp.where(seenRb, fh, chi)
+        fl = jnp.where(seenRb, fl, clo)
+        cols[L[hi_name]], cols[L[lo_name]] = fh, fl
+        ci32[0, slot] = fh[lastrow]
+        ci32[0, slot + 1] = fl[lastrow]
+        return fh, fl
+
+    cvb_ah, cvb_al = _pair_add(cvb_lh, cvb_ll, cv_eh, cv_el)
+    cdb_ah, cdb_al = _pair_add(cdb_lh, cdb_ll, cd_eh, cd_el)
+    fvh, fvl = row_fill_pair(cvb_ah, cvb_al, _V_CVB, "cvb_hi", "cvb_lo")
+    fdh, fdl = row_fill_pair(cdb_ah, cdb_al, _V_CDB, "cdb_hi", "cdb_lo")
+
+    ctb_carry = c32(_V_CTB)
+    fct, _ = _row_scan((jnp.where(rowmark, ctb_l + ct_e, z), rowmark32),
+                       _c_last)
+    fct = jnp.where(seenRb, fct, ctb_carry)
+    cols[L["ctb"]] = fct
+    ci32[0, _V_CTB] = fct[lastrow]
+
+    # ---- in-bar running imbalance extrema ---------------------------------
+    # per-row pair adjustment: rel[i] = local_prefix[i] + adj, where adj
+    # is -local_base for mark rows and (row_excl - carried_base) for
+    # rows whose segment started earlier — all exact pair arithmetic, so
+    # the single pair->f32 rounding is bit-identical to v2.
+    def rel_adj(rowmark_, loc_h, loc_l, eh, el, fh, fl):
+        nh, nl = _pair_neg(loc_h, loc_l)
+        dh, dl = _pair_sub(eh, el, fh, fl)
+        return (jnp.where(rowmark_, nh, dh), jnp.where(rowmark_, nl, dl))
+
+    adj_vh, adj_vl = rel_adj(rowmark, cvb_lh, cvb_ll, cv_eh, cv_el,
+                             fvh, fvl)
+    adj_dh, adj_dl = rel_adj(rowmark, cdb_lh, cdb_ll, cd_eh, cd_el,
+                             fdh, fdl)
+
+    cvL_h, cvL_l = _comps4_to_pair(*[x.astype(jnp.int32) for x in cv4s])
+    cdL_h, cdL_l = _comps4_to_pair(*[x.astype(jnp.int32) for x in cd4s])
+    rel_cv = _pair_to_f32(*_pair_add(cvL_h, cvL_l, adj_vh, adj_vl))
+    rel_cd = _pair_to_f32(*_pair_add(cdL_h, cdL_l, adj_dh, adj_dl))
+    ctL = ctLf.astype(jnp.int32)
+    adj_ct = jnp.where(rowmark, -ctb_l, ct_e - fct)
+    rel_ct = ctL + adj_ct
+
+    row_seg_i32(tail_red(jnp.where(tmt, rel_ct, _I32MAX), False),
+                _V_CTMIN, "ctmin", False, _I32MAX)
+    row_seg_i32(tail_red(jnp.where(tmt, rel_ct, _I32MIN), True),
+                _V_CTMAX, "ctmax", True, _I32MIN)
+    row_seg_f32(tail_red(jnp.where(tmt, rel_cv, _F32BIG), False),
+                _SF_CVMIN, "cvmin", False, _F32BIG)
+    row_seg_f32(tail_red(jnp.where(tmt, rel_cv, -_F32BIG), True),
+                _SF_CVMAX, "cvmax", True, -_F32BIG)
+    row_seg_f32(tail_red(jnp.where(tmt, rel_cd, _F32BIG), False),
+                _SF_CDMIN, "cdmin", False, _F32BIG)
+    row_seg_f32(tail_red(jnp.where(tmt, rel_cd, -_F32BIG), True),
+                _SF_CDMAX, "cdmax", True, -_F32BIG)
+
+    pad = jnp.zeros((ROWS, LANES - N_ROWTAIL), jnp.int32)
+    out_ref[...] = jnp.concatenate(cols + [pad], axis=1)
+
+
+def _io_floor_kernel(ticks_ref, ulo_ref, uhi_ref, dlo_ref, dhi_ref,
+                     side_ref, flags_ref, spread_ref, out_ref):
+    out_ref[...] = (ticks_ref[...] + ulo_ref[...] + uhi_ref[...]
+                    + dlo_ref[...] + dhi_ref[...] + side_ref[...]
+                    + flags_ref[...] + spread_ref[...])
+
+
+@partial(jax.jit, static_argnames=("interpret", "block_rows"))
+def bar_scan_io_floor(ticks, ulo, uhi, dlo, dhi, side, flags, spread,
+                      interpret: bool = False, block_rows: int = 512):
+    """Measurement probe: the pure streaming floor of the rowtail scan's
+    IO shape (8 input planes in, 1 plane out, 1 add/element). Any fused
+    kernel with the same plane set cannot run faster than this."""
+    n_rows = ticks.shape[0]
+    R = block_rows
+    grid = (n_rows // R,)
+    spec = pl.BlockSpec((R, LANES), lambda i: (i, np.int32(0)))
+    return pl.pallas_call(
+        _io_floor_kernel,
+        grid=grid,
+        in_specs=[spec] * 8,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(ticks.shape, jnp.int32),
+        interpret=interpret,
+    )(ticks, ulo, uhi, dlo, dhi, side, flags, spread)
+
+
+def _io_floor_kernel_k(*refs):
+    out_ref = refs[-1]
+    acc = refs[0][...]
+    for r in refs[1:-1]:
+        acc = acc + r[...]
+    out_ref[...] = acc
+
+
+@partial(jax.jit, static_argnames=("k", "interpret", "block_rows"))
+def bar_scan_io_floor_k(ticks, k: int = 1, interpret: bool = False,
+                        block_rows: int = 512):
+    """IO-scaling probe: k input planes (same array), 1 output."""
+    n_rows = ticks.shape[0]
+    R = block_rows
+    grid = (n_rows // R,)
+    spec = pl.BlockSpec((R, LANES), lambda i: (i, np.int32(0)))
+    return pl.pallas_call(
+        _io_floor_kernel_k,
+        grid=grid,
+        in_specs=[spec] * k,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(ticks.shape, jnp.int32),
+        interpret=interpret,
+    )(*([ticks] * k))
+
+
+def _io_floor_kernel_stacked(x_ref, out_ref):
+    x = x_ref[...]                       # (8, R, 128)
+    out_ref[...] = jnp.sum(x, axis=0, dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("interpret", "block_rows"))
+def bar_scan_io_floor_stacked(x, interpret: bool = False,
+                              block_rows: int = 512):
+    """IO probe: the 8 planes as ONE pre-stacked (8, rows, 128) input —
+    one DMA stream per block instead of eight."""
+    n_rows = x.shape[1]
+    R = block_rows
+    grid = (n_rows // R,)
+    return pl.pallas_call(
+        _io_floor_kernel_stacked,
+        grid=grid,
+        in_specs=[pl.BlockSpec((8, R, LANES),
+                               lambda i: (np.int32(0), i, np.int32(0)))],
+        out_specs=pl.BlockSpec((R, LANES), lambda i: (i, np.int32(0))),
+        out_shape=jax.ShapeDtypeStruct(x.shape[1:], jnp.int32),
+        interpret=interpret,
+    )(x)
+
+
+# block height for v4: the row phases operate on (R, 1) columns whose
+# vreg cost grows with R while the MXU lane work is R-independent;
+# measured on chip R=64 / 128 / 256 -> see scripts/probe_scan_kernels.py
+_V4_ROWS = int(os.environ.get("FMKT_V4_ROWS", "256"))
+
+
+@partial(jax.jit, static_argnames=("interpret", "block_rows", "red_dots"))
+def bar_scan_rowtails_v4(ticks, ulo, uhi, dlo, dhi, side, flags, spread,
+                         interpret: bool = False, block_rows: int = None,
+                         red_dots: bool = False):
+    """MXU-offloaded variant of :func:`bar_scan_rowtails` (bit-identical).
+
+    Sum-only quantities use lane reductions over exact 16-bit components;
+    the imbalance prefixes and segment structure ride the MXU as
+    triangular f32 matmuls (exact: all components < 2^23). See the v4
+    section comment for the full design.
+    """
+    R = block_rows or _V4_ROWS
+    n_rows = ticks.shape[0]
+    grid = (n_rows // R,)
+    spec = pl.BlockSpec((R, LANES), lambda i: (i, np.int32(0)))
+    return pl.pallas_call(
+        partial(_rowtail_kernel_v4, ROWS=R, red_dots=red_dots),
+        grid=grid,
+        in_specs=[spec] * 8,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(ticks.shape, jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1, _N_I32_SLOTS), jnp.int32),
+                        pltpu.SMEM((1, _N_F32_SLOTS), jnp.float32)],
+        interpret=interpret,
+    )(ticks, ulo, uhi, dlo, dhi, side, flags, spread)
 
 
 @partial(jax.jit, static_argnames=("interpret",))

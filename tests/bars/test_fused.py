@@ -303,6 +303,36 @@ class TestPackedVariant:
             np.testing.assert_array_equal(np.asarray(d1[k]),
                                           np.asarray(d2[k]), err_msg=k)
 
+    def test_rowtail_v4_matches_v2_plane(self):
+        # the MXU-offloaded reduce kernel (round-5 default on TPU) must
+        # be bit-identical to the per-quantity v2 kernel — exact 16-bit
+        # component arithmetic, same single pair->f32 rounding
+        from finmlkit_tpu.ops import fused_scan as FS
+        price, amount, side, q, ci = _mk(seed=52, n=70000, n_bars=80)
+        planes_in, _ = fused.prep_planes(
+            jnp.asarray(q.price_ticks), jnp.asarray(q.amount_units),
+            jnp.asarray(side), jnp.asarray(ci))
+        v2 = np.asarray(FS.bar_scan_rowtails(*planes_in, interpret=True))
+        v4 = np.asarray(FS.bar_scan_rowtails_v4(*planes_in, interpret=True))
+        np.testing.assert_array_equal(v2, v4)
+
+    def test_rowtail_v4_products_pipeline(self):
+        # scan="rowtail4" through bar_products_fused: identical outputs
+        price, amount, side, q, ci = _mk(seed=53, n=9000, n_bars=90)
+        args = (jnp.asarray(q.price_ticks), jnp.asarray(q.amount_units),
+                jnp.asarray(ci), jnp.asarray(side))
+        kw = dict(tick_size=q.tick_size, amount_scale=q.amount_scale,
+                  interpret=True, amounts_f32=jnp.asarray(amount),
+                  ci_host=ci, packed=True)
+        o2, d2 = fused.bar_products_fused(*args, scan="rowtail", **kw)
+        o4, d4 = fused.bar_products_fused(*args, scan="rowtail4", **kw)
+        for k in o2:
+            np.testing.assert_array_equal(np.asarray(o2[k]),
+                                          np.asarray(o4[k]), err_msg=k)
+        for k in d2:
+            np.testing.assert_array_equal(np.asarray(d2[k]),
+                                          np.asarray(d4[k]), err_msg=k)
+
     def test_rowtail_v3_matches_v2_plane(self):
         # the batched-row-phase kernel variant must be bit-identical to
         # the per-quantity v2 kernel (it is kept as a tested negative
