@@ -164,12 +164,14 @@ def main():
 
     amj = jax.device_put(jnp.asarray(amount))
 
-    def products(one_dispatch, packed=True, medians="rowsort", scan="rowtail"):
+    def products(one_dispatch, packed=True, medians="rowsort", scan="rowtail",
+                 one_buffer=False):
         return fused.bar_products_fused(
             tkj, unj, ci, sdj, tick_size=q.tick_size,
             amount_scale=q.amount_scale, amounts_host=amount,
             ci_host=ci_host, one_dispatch=one_dispatch, packed=packed,
-            medians=medians, scan=scan, amounts_f32=amj, interpret=interp)
+            medians=medians, scan=scan, amounts_f32=amj, interpret=interp,
+            one_buffer=one_buffer)
 
     # device-only time (no medians/full readback) for the transport
     # decomposition: race the full-plane (v1) vs boundary-output (v2)
@@ -184,6 +186,11 @@ def main():
                else fused.fused_packed_device)
         return _tiny(dev(tkj, unj, ci, sdj, interpret=interp))
 
+    def _dev_only4():
+        return _tiny(fused.fused_packed_v2_device(tkj, unj, ci, sdj,
+                                                  interpret=interp,
+                                                  kernel="v4"))
+
     t_cold0 = time.time()
     _dev_only("planes")
     t_cold = time.time() - t_cold0
@@ -197,11 +204,22 @@ def main():
         print(f"# rowtail variant failed ({type(e).__name__}); "
               f"using full-plane", file=sys.stderr)
         t_dev_v2, t_cold1 = float("inf"), float("nan")
-    scan_mode = "rowtail" if t_dev_v2 <= t_dev_v1 else "planes"
+    try:
+        t_cold4v_0 = time.time()
+        _dev_only4()
+        t_cold4v = time.time() - t_cold4v_0
+        t_dev_v4, _ = _bench(_dev_only4, k=3)
+    except Exception as e:
+        print(f"# v4 kernel variant failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+        t_dev_v4, t_cold4v = float("inf"), float("nan")
+    scan_mode = {0: "planes", 1: "rowtail", 2: "rowtail4"}[
+        int(np.argmin([t_dev_v1, t_dev_v2, t_dev_v4]))]
     one = False  # packed path; one_dispatch only affects non-packed
     print(f"# device-only: v1 full-plane {t_dev_v1*1000:.1f}ms, "
-          f"v2 rowtail {t_dev_v2*1000:.1f}ms (cold {t_cold:.1f}s/"
-          f"{t_cold1:.1f}s) -> using {scan_mode}", file=sys.stderr)
+          f"v2 rowtail {t_dev_v2*1000:.1f}ms, v4 {t_dev_v4*1000:.1f}ms "
+          f"(cold {t_cold:.1f}s/{t_cold1:.1f}s/{t_cold4v:.1f}s) "
+          f"-> using {scan_mode}", file=sys.stderr)
 
     # standalone device median engine (for the chip-capability line);
     # value-fetch forces completion (block_until_ready can return early
@@ -242,6 +260,19 @@ def main():
     except Exception as e:
         print(f"# host variant failed ({type(e).__name__}: {e})",
               file=sys.stderr)
+    if scan_mode in ("rowtail", "rowtail4"):
+        try:  # single-buffer readback: 1 transfer instead of 3
+            t_cold5_0 = time.time()
+            products(one, medians="rowsort", scan=scan_mode,
+                     one_buffer=True)
+            t_cold5 = time.time() - t_cold5_0
+            variants["packed+rowsort+1buf"], _ = _bench(
+                lambda: products(one, medians="rowsort", scan=scan_mode,
+                                 one_buffer=True), k=3)
+            print(f"# packed+1buf cold {t_cold5:.1f}s", file=sys.stderr)
+        except Exception as e:
+            print(f"# 1buf variant failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
     if scan_mode == "rowtail":
         try:  # products + medians in ONE compiled program
             t_cold4_0 = time.time()
@@ -260,10 +291,12 @@ def main():
         + f" -> using {best}", file=sys.stderr)
     use_med = {"packed+host": "host",
                "packed+fusedmed": "rowsort+fused"}.get(best, "rowsort")
+    use_1buf = best == "packed+rowsort+1buf"
 
     t_products, t_products_med, t_products_max, (ohlcv, direc) = _bench_full(
-        lambda: products(one, medians=use_med, scan=scan_mode), k=8)
-    t_dev = min(t_dev_v1, t_dev_v2)
+        lambda: products(one, medians=use_med, scan=scan_mode,
+                         one_buffer=use_1buf), k=8)
+    t_dev = min(t_dev_v1, t_dev_v2, t_dev_v4)
     print(f"# bar products e2e: min {t_products*1000:.1f}ms / "
           f"median {t_products_med*1000:.1f}ms / max {t_products_max*1000:.1f}ms "
           f"(fused device {t_dev*1000:.1f}ms + rowsort medians "
@@ -392,14 +425,84 @@ def main():
 
     _touch()
     # one honest combined pipeline number: bars + CUSUM events + TBM
-    # labels + the 6-feature batch (VERDICT r3 #6)
+    # labels + the 6-feature batch. Round 5: the chain runs DEVICE-
+    # RESIDENT (finmlkit_tpu/pipeline.py) — bar buffers feed the fused
+    # feature graph with no host hop; one timed closure measures
+    # index + products + features + cusum + tbm end to end.
     combined = N_TRADES / (t_e2e + t_cusum + t_tbm + t_feat)
     extra["config5_combined_pipeline"] = {
         "t_total_ms": round((t_e2e + t_cusum + t_tbm + t_feat) * 1e3, 2),
         "trades_per_sec": round(combined),
         "vs_baseline": round(combined / REF_TRADES_PER_SEC, 3),
-        "stages": "index+products+cusum+tbm+feature_kit(6)",
+        "stages": "index+products+cusum+tbm+feature_kit(6) (additive)",
     }
+    try:
+        from finmlkit_tpu import pipeline as fpipe
+        from finmlkit_tpu.feature.fuse import build_fused_from_specs
+
+        specs = {c: jax.ShapeDtypeStruct((n_bars,), np.float64)
+                 for c in ("open", "high", "low", "close", "volume",
+                           "vwap")}
+        specs["trades"] = jax.ShapeDtypeStruct((n_bars,), np.int64)
+        graph = build_fused_from_specs(
+            [
+                Feature(T.EWMA(20, "close")),
+                Feature(T.RSIWilder(14, "close")),
+                Feature(T.ATR(14)),
+                Feature(T.Return(1, "close", is_log=True)),
+                Feature(T.RealizedVolatility(30, input_col="close_ret1")),
+                Feature(T.ZScore(50, "close")),
+            ], specs, jax.ShapeDtypeStruct((n_bars,), np.int64))
+        bar_ts_dev = jax.device_put(jnp.asarray(bar_ts))
+        max_count = int(np.max(np.diff(ci_host)))
+        scan_kern = "v4" if scan_mode == "rowtail4" else "v2"
+
+        def combined_run():
+            _, ci_r = time_bar_indexer(tsj, 60.0, ts_first=int(ts[0]),
+                                       ts_last_i=int(ts[-1]))
+            o_c, d_c, f_c = fpipe.bar_feature_pipeline_device(
+                tkj, unj, ci_r, sdj, tick_size=q.tick_size,
+                amount_scale=q.amount_scale, graph=graph,
+                bar_ts=bar_ts_dev, amounts_f32=amj, ci_host=ci_host,
+                max_count=max_count, interpret=interp,
+                scan_kernel=scan_kern,
+                debug_timing=({"1": True, "2": "sync"}.get(os.environ.get("FMKT_PIPE_DEBUG", ""), False)))
+            ev = cusum_filter(o_c["close"][:n_bars], np.array([0.002]))
+            ev = ev[ev < cut]
+            if len(ev) == 0:
+                ev = np.arange(10, cut, 97)
+            tg = np.full(len(ev), 0.003)
+            lab = triple_barrier(bar_ts, o_c["close"][:n_bars], ev, tg,
+                                 (1.0, 1.0), 3600.0,
+                                 min_close_time_sec=0.0)
+            np.asarray(_leaf(lab)[:1])
+            return o_c, f_c
+
+        t0 = time.time()
+        combined_run()
+        t_comb_cold = time.time() - t0
+        t_comb, t_comb_med, t_comb_max, _ = _bench_full(combined_run, k=5)
+        comb_dev = N_TRADES / t_comb
+        print(f"# device-resident combined (index+products+medians+"
+              f"features+cusum+tbm): min {t_comb*1000:.1f}ms / median "
+              f"{t_comb_med*1000:.1f}ms (cold {t_comb_cold:.1f}s) = "
+              f"{comb_dev:,.0f} tr/s, {comb_dev/REF_TRADES_PER_SEC:.3f} "
+              f"vs_baseline, {t_products/t_comb:.2f}x of products-only",
+              file=sys.stderr)
+        extra["config5_combined_pipeline"] = {
+            "t_total_ms": round(t_comb * 1e3, 2),
+            "t_total_median_ms": round(t_comb_med * 1e3, 2),
+            "trades_per_sec": round(comb_dev),
+            "vs_baseline": round(comb_dev / REF_TRADES_PER_SEC, 3),
+            "ratio_vs_products_only": round(
+                (N_TRADES / t_comb) / (N_TRADES / t_products), 3),
+            "stages": "index+products+medians+features(6)+cusum+tbm, "
+                      "device-resident chain (finmlkit_tpu/pipeline.py)",
+            "additive_r4_style_ms": round(
+                (t_e2e + t_cusum + t_tbm + t_feat) * 1e3, 2),
+        }
+    except Exception as e:
+        print(f"# device-resident combined failed: {e!r}", file=sys.stderr)
 
     # --- config 2: dollar bars + footprints ---
     try:
@@ -483,7 +586,7 @@ def main():
         sigj = jax.device_put(jnp.full((N_TRADES,), 2e-5, jnp.float32))
 
         def cus():
-            _, ci_c, _ = cusum_bar_indexer(tsj, px32, sigj, 1e-9, 25.0,
+            _, ci_c, _ = cusum_bar_indexer(tsj, px32, sigj, 1e-9, 60.0,
                                            dtype=jnp.float32)
             return jax.block_until_ready(ci_c)
 
@@ -503,7 +606,7 @@ def main():
         _touch()
 
         def imb():
-            _, ci_i, _ = imbalance_bar_indexer(
+            _, ci_i = imbalance_bar_indexer(
                 tsj, sdj, expected_ticks_init=1000.0,
                 expected_rate_init=0.03, alpha_ticks=0.05,
                 alpha_rate=0.05, dtype=jnp.float32)
@@ -525,7 +628,7 @@ def main():
         _touch()
 
         def runb():
-            _, ci_r, _ = run_bar_indexer(
+            _, ci_r = run_bar_indexer(
                 tsj, sdj, expected_ticks_init=1000.0,
                 expected_rate_init=0.5, alpha_ticks=0.05,
                 alpha_rate=0.05, dtype=jnp.float32)

@@ -471,6 +471,43 @@ def fused_packed_v2_device(price_ticks, amount_units, ci, sides,
                                 _n_rows(n) * 128, interpret, kernel)
 
 
+@partial(jax.jit, static_argnames=("n_pad", "interpret", "kernel"))
+def _fused_packed_one_jit(price_ticks, amount_units, sides, ci, n_pad: int,
+                          interpret: bool, kernel: str = "v2"):
+    """Products with ONE packed int32 readback buffer.
+
+    The remote transport pays a fixed latency per transfer on top of the
+    byte cost (BENCH_NOTES.md); folding the 3 packed buffers (i64 sums /
+    i32 ticks / f32 extrema) into a single (26, n_bars) int32 buffer
+    (i64 as hi+lo rows, f32 bitcast) trades two transfer round-trips for
+    zero extra bytes.
+    """
+    p64, p32, pf = _fused_packed_v2_jit(price_ticks, amount_units, sides,
+                                        ci, n_pad, interpret, kernel)
+    hi = (p64 >> 32).astype(jnp.int32)
+    lo = p64.astype(jnp.uint32).astype(jnp.int32)
+    pfi = jax.lax.bitcast_convert_type(pf, jnp.int32)
+    return jnp.concatenate([hi, lo, p32, pfi], axis=0)
+
+
+def fused_packed_one_device(price_ticks, amount_units, ci, sides,
+                            interpret: bool = False, kernel: str = "v2"):
+    """Single-dispatch products, single-buffer readback."""
+    n = int(price_ticks.shape[0])
+    return _fused_packed_one_jit(price_ticks, amount_units, sides, ci,
+                                 _n_rows(n) * 128, interpret, kernel)
+
+
+def _unpack_one(buf, ci_host):
+    """Rebuild the 21-tuple raw layout from the single packed buffer."""
+    b = np.asarray(buf)
+    hi, lo, p32, pfi = b[:6], b[6:12], b[12:22], b[22:26]
+    p64 = (hi.astype(np.int64) << 32) | \
+        lo.view(np.uint32).astype(np.int64)
+    pf = pfi.view(np.float32)
+    return _unpack_raw((p64, p32, pf), ci_host)
+
+
 @partial(jax.jit, static_argnames=("n_pad", "C", "interpret",
                                    "use_pallas"))
 def _products_withmed_jit(price_ticks, amount_units, sides, ci,
@@ -639,12 +676,13 @@ def _rowsort_pick_C(max_count: int, n_pad: int) -> int:
     XLA's TPU sort is comparator-network-bound: batched row sorts cost
     ~n*log2(C)^2, so the narrowest row that still satisfies the
     one-boundary-per-bar invariant (max bar length <= C) wins. The floor
-    (default 4096, FMKT_ROWSORT_CMIN) balances the sort saving against
-    the two-run bisection cost, which grows with the number of
-    row-spanning bars (~n_pad/C). Measured on chip at 39M trades:
-    see scripts/probe_median_C.py / BENCH_NOTES.md round 5.
+    (FMKT_ROWSORT_CMIN) balances the sort saving against the two-run
+    bisection cost, which grows with the number of row-spanning bars
+    (~n_pad/C). Measured on chip at 39M trades / 45.7k bars (amortized,
+    scripts/probe_median_C.py): C=2048 56.5ms, 4096 50.7, **8192 49.5**,
+    16384 51.2, 32768 56.5 — default floor 8192.
     """
-    c_min = int(os.environ.get("FMKT_ROWSORT_CMIN", "4096"))
+    c_min = int(os.environ.get("FMKT_ROWSORT_CMIN", "8192"))
     C = max(c_min, 512)
     while C < max_count or (n_pad % C != 0) or (n_pad // C < 2):
         C *= 2
@@ -969,7 +1007,7 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
                        amounts_f32=None, interpret: bool = False,
                        one_dispatch: bool = False, packed: bool = False,
                        device_medians: bool = False, medians: str = None,
-                       scan: str = "rowtail"):
+                       scan: str = "rowtail", one_buffer: bool = False):
     """Full fused OHLCV + directional bar products.
 
     The device dispatch, the device->host readback DMA, and the median
@@ -1065,9 +1103,13 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
                            * amount_scale).astype(jnp.float32)
     if packed:
         if scan in ("rowtail", "rowtail4"):
-            bufs = fused_packed_v2_device(
-                price_ticks, amount_units, ci, sides, interpret=interpret,
-                kernel="v4" if scan == "rowtail4" else "v2")
+            dev1 = (fused_packed_one_device if one_buffer
+                    else fused_packed_v2_device)
+            bufs = dev1(price_ticks, amount_units, ci, sides,
+                        interpret=interpret,
+                        kernel="v4" if scan == "rowtail4" else "v2")
+            if one_buffer:
+                bufs = (bufs,)
         else:
             bufs = fused_packed_device(price_ticks, amount_units, ci,
                                        sides, interpret=interpret)
@@ -1102,7 +1144,9 @@ def bar_products_fused(price_ticks, amount_units, ci, sides, *,
                                         interpret=interpret, max_count=mc)
         _start_host_copies(tuple(bufs) + tuple(med))
     if packed:
-        raw = _unpack_raw(bufs, ci_host if ci_host is not None else ci)
+        ci_u = ci_host if ci_host is not None else ci
+        raw = (_unpack_one(bufs[0], ci_u) if one_buffer
+               else _unpack_raw(bufs, ci_u))
     else:
         raw = jax.device_get(bufs)
     med = (np.asarray(med[0]), np.asarray(med[1]))

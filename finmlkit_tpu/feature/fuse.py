@@ -221,6 +221,54 @@ class FusedGraph:
         return out
 
 
+    def run_device(self, cols: Dict[str, "jnp.ndarray"], ts=None,
+                   as_numpy: bool = True):
+        """One dispatch from DEVICE-RESIDENT inputs (no host re-upload).
+
+        ``cols`` maps column name -> device array (any dtype castable to
+        the planned spec). The device-resident combined pipeline feeds
+        bar products straight from the bar programs' output buffers —
+        the reference chains stages in-memory for free
+        (feature/kit.py:1014-1085); through a remote transport the
+        re-upload costs more than the compute (BENCH_NOTES.md r4).
+        With ``as_numpy=False`` returns the packed device buffers +
+        layout for the caller to overlap readbacks.
+        """
+        mat = (jnp.stack([cols[c].astype(jnp.float64)
+                          for c in self._f64_cols])
+               if self._f64_cols else jnp.zeros((0, 1)))
+        arrs = {c: cols[c] for c in self._other_cols}
+        packed = self._jitted(mat, arrs, ts)
+        if not as_numpy:
+            return packed, list(self._layout)
+        for b in packed.values():
+            try:
+                b.copy_to_host_async()
+            except AttributeError:
+                break
+        packed_np = jax.device_get(packed)
+        counters: Dict[str, int] = {}
+        out = {}
+        for key, col in self._layout:
+            i = counters.get(key, 0)
+            counters[key] = i + 1
+            out[col] = packed_np[key][i]
+        return out
+
+
+def build_fused_from_specs(features, col_specs, ts_spec=None):
+    """Plan + compile a FusedGraph from explicit column specs (device-
+    resident pipelines have no DataFrame). All features must plan onto
+    the graph; host-tier features raise (the caller owns the columns)."""
+    graph, host = plan(features, dict(col_specs), ts_spec)
+    if host:
+        raise ValueError(
+            f"features {[f.name for f in host]} need host tiers; the "
+            "device-resident pipeline supports graph features only")
+    col_dtypes = {c: s.dtype for c, s in col_specs.items()}
+    return FusedGraph(graph, [], col_dtypes)
+
+
 def build_fused(features, df: pd.DataFrame):
     """Plan + compile a FusedGraph for ``features`` over ``df``'s columns.
 

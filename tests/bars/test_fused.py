@@ -333,6 +333,24 @@ class TestPackedVariant:
             np.testing.assert_array_equal(np.asarray(d2[k]),
                                           np.asarray(d4[k]), err_msg=k)
 
+    def test_one_buffer_readback_matches(self):
+        # the single-buffer packed readback (i64 split + f32 bitcast)
+        # must reproduce the 3-buffer path bit-for-bit
+        price, amount, side, q, ci = _mk(seed=54, n=5000, n_bars=50)
+        args = (jnp.asarray(q.price_ticks), jnp.asarray(q.amount_units),
+                jnp.asarray(ci), jnp.asarray(side))
+        kw = dict(tick_size=q.tick_size, amount_scale=q.amount_scale,
+                  interpret=True, amounts_f32=jnp.asarray(amount),
+                  ci_host=ci, packed=True)
+        o3, d3 = fused.bar_products_fused(*args, **kw)
+        o1, d1 = fused.bar_products_fused(*args, one_buffer=True, **kw)
+        for k in o3:
+            np.testing.assert_array_equal(np.asarray(o3[k]),
+                                          np.asarray(o1[k]), err_msg=k)
+        for k in d3:
+            np.testing.assert_array_equal(np.asarray(d3[k]),
+                                          np.asarray(d1[k]), err_msg=k)
+
     def test_rowtail_v3_matches_v2_plane(self):
         # the batched-row-phase kernel variant must be bit-identical to
         # the per-quantity v2 kernel (it is kept as a tested negative
