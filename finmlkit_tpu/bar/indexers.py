@@ -35,7 +35,13 @@ import numpy as np
 @partial(jax.jit, static_argnames=("n_clock", "step_i", "start_i", "inv_step"))
 def _time_bar_ci(timestamps, start_f, n_clock: int, step_i: int,
                  start_i: int, inv_step: float):
-    """Per-clock-bin trade counts via elementwise binning + scatter.
+    """LEGACY (round 3-4) per-clock-bin counts via binning + scatter-add.
+
+    SUPERSEDED by :func:`_time_bar_ci_ranked`: the 39M-update scatter-add
+    secretly hit XLA's ~100 ns/update serial path (3.6 s/month on chip;
+    `block_until_ready` returns early through the tunnel, which is how
+    it masqueraded as 3 ms for two rounds — see BENCH_NOTES.md round 5).
+    Kept for scripts/profile_indexer.py A/B probes.
 
     Avoids both searchsorted (random gathers — the slowest TPU executing
     primitive) and f64 multiply/divide (pathological compile times on
@@ -86,18 +92,41 @@ def time_bar_indexer(timestamps: jnp.ndarray, interval_seconds: float,
     last = math.ceil(ts_last / step) * step
     stop = last + step + 1.0
     n_clock = int(np.ceil((stop - start) / step))
-    clock = (start + np.arange(n_clock, dtype=np.float64) * step).astype(np.int64)
-    if step == int(step):
-        # jit bin-count stage, then the Pallas scan as a top-level call
-        # (a Pallas kernel nested inside a jit hangs the TPU compiler)
-        from ..ops.pallas_scan import fast_cumsum
-        cnt = _time_bar_ci(timestamps, jnp.float64(start), n_clock,
-                           int(step), int(start), 1.0 / step)
-        ci = fast_cumsum(cnt)[:n_clock] - 1  # #{ts <= clock[k]} - 1
-    else:  # fractional-ns interval: fall back to searchsorted
-        ci = jnp.searchsorted(timestamps, jnp.asarray(clock),
-                              side="right").astype(jnp.int64) - 1
-    return jnp.asarray(clock), ci
+    # ci[k] = #{ts <= clock[k]} - 1 = rank of clock[k]+1 among the sorted
+    # timestamps, via the blocked rank search (no scatter, no cumsum —
+    # the round-3/4 scatter-add binning was secretly XLA's ~100ns/update
+    # serial path, 3.6s/month; see _blocked_rank_lt)
+    n = int(timestamps.shape[0])
+    ci = _time_bar_ci_ranked(timestamps, jnp.float64(start), n_clock,
+                             step, _pad_rows_16384(n))
+    # the clock itself is rebuilt ON DEVICE with the same f64 arithmetic
+    # as the reference's np.arange expression (bit-identical rounding)
+    clock = _time_clock(jnp.float64(start), n_clock, step)
+    return clock, ci
+
+
+@partial(jax.jit, static_argnames=("n_clock", "step"))
+def _time_clock(start_f, n_clock: int, step: float):
+    return (start_f + jnp.arange(n_clock, dtype=jnp.float64)
+            * jnp.float64(step)).astype(jnp.int64)
+
+
+def _pad_rows_16384(n: int) -> int:
+    return ((n + 16383) // 16384) * 16384
+
+
+@partial(jax.jit, static_argnames=("n_clock", "step", "n_pad"))
+def _time_bar_ci_ranked(timestamps, start_f, n_clock: int, step: float,
+                        n_pad: int):
+    n = timestamps.shape[0]
+    clock = _time_clock(start_f, n_clock, step)
+    pad = n_pad - n
+    tsp = jnp.concatenate(
+        [timestamps, jnp.full((pad,), jnp.iinfo(jnp.int64).max,
+                              jnp.int64)]) if pad else timestamps
+    chi, clo = _split_i64(tsp.reshape(-1, 128))
+    uh, ul = _split_i64(clock + 1)  # #{ts <= c} = #{ts < c+1}
+    return _blocked_rank_lt(chi, clo, uh, ul) - 1
 
 
 # ---------------------------------------------------------------------------
@@ -164,6 +193,61 @@ def _pair_lt(ah, al, bh, bl):
     return (ah < bh) | ((ah == bh) & ((al + _BIAS32) < (bl + _BIAS32)))
 
 
+def _split_i64(x):
+    return ((x >> 32).astype(jnp.int32),
+            x.astype(jnp.uint32).astype(jnp.int32))
+
+
+def _blocked_rank_lt(chi, clo, uh, ul):
+    """rank[t] = #{c < u_t} over a SORTED pair-encoded (rows, 128) array,
+    without elementwise gathers.
+
+    XLA lowers ``searchsorted`` into a serial binary search of
+    one-element gathers (~100 ns/step on this TPU — the hidden 3.6 s
+    cost of the round-3/4 time indexer). This replacement is three rank
+    levels: a broadcast compare against the ~rows/128 block tails, then
+    one ROW gather of 128 row tails per target + compare-count, then one
+    row gather of the element row + compare-count. Row gathers (128
+    contiguous lanes) are the fast gather shape on this TPU.
+
+    Preconditions: ``c`` nondecreasing; rows beyond the logical stream
+    padded with the final value or +inf (both count correctly against
+    in-range and beyond-range targets respectively).
+    """
+    n_rows = chi.shape[0]
+    r2 = (n_rows + 127) // 128
+
+    rt_h = chi[:, -1]
+    rt_l = clo[:, -1]
+    pad = r2 * 128 - n_rows
+    if pad:
+        rt_h = jnp.concatenate([rt_h, jnp.full((pad,), 0x7FFFFFFF,
+                                               jnp.int32)])
+        rt_l = jnp.concatenate([rt_l, jnp.full((pad,), -1, jnp.int32)])
+    rt_h2 = rt_h.reshape(r2, 128)
+    rt_l2 = rt_l.reshape(r2, 128)
+    bt_h = rt_h2[:, -1]
+    bt_l = rt_l2[:, -1]
+
+    blk = jnp.sum(_pair_lt(bt_h[None, :], bt_l[None, :],
+                           uh[:, None], ul[:, None]),
+                  axis=1, dtype=jnp.int32)
+    blk_c = jnp.minimum(blk, r2 - 1)
+
+    g_h = rt_h2[blk_c]
+    g_l = rt_l2[blk_c]
+    rin = jnp.sum(_pair_lt(g_h, g_l, uh[:, None], ul[:, None]),
+                  axis=1, dtype=jnp.int32)
+    row = blk_c * 128 + rin
+    row_c = jnp.minimum(row, n_rows - 1)
+
+    c_h = chi[row_c]
+    c_l = clo[row_c]
+    lane = jnp.sum(_pair_lt(c_h, c_l, uh[:, None], ul[:, None]),
+                   axis=1, dtype=jnp.int32)
+    return row_c.astype(jnp.int64) * 128 + lane.astype(jnp.int64)
+
+
 def _gather_lane(x2d, pos):
     """Two-level gather: row fetch then lane select (bar/fused.py _g)."""
     rows = x2d[pos >> 7]
@@ -204,47 +288,10 @@ def _dollar_boundaries_blocked(chi, clo, threshold: float, max_bars: int,
     Positions beyond the stream resolve to >= n and are dropped by the
     caller's count filter, exactly like the searchsorted path.
     """
-    n_rows = chi.shape[0]
-    r2 = (n_rows + 127) // 128
     m = jnp.arange(1, max_bars + 1, dtype=jnp.float64)
     u = jnp.ceil(m * threshold).astype(jnp.int64)
-    uh = (u >> 32).astype(jnp.int32)
-    ul = u.astype(jnp.uint32).astype(jnp.int32)
-
-    # row tails, padded to an (r2, 128) grid with +inf pairs
-    rt_h = chi[:, -1]
-    rt_l = clo[:, -1]
-    pad = r2 * 128 - n_rows
-    if pad:
-        rt_h = jnp.concatenate([rt_h, jnp.full((pad,), 0x7FFFFFFF,
-                                               jnp.int32)])
-        rt_l = jnp.concatenate([rt_l, jnp.full((pad,), -1, jnp.int32)])
-    rt_h2 = rt_h.reshape(r2, 128)
-    rt_l2 = rt_l.reshape(r2, 128)
-    bt_h = rt_h2[:, -1]
-    bt_l = rt_l2[:, -1]
-
-    # 1) rank among block tails: (max_bars, r2) broadcast compare
-    blk = jnp.sum(_pair_lt(bt_h[None, :], bt_l[None, :],
-                           uh[:, None], ul[:, None]),
-                  axis=1, dtype=jnp.int32)
-    blk_c = jnp.minimum(blk, r2 - 1)
-
-    # 2) row within block: gather the 128 row tails of each target's block
-    g_h = rt_h2[blk_c]
-    g_l = rt_l2[blk_c]
-    rin = jnp.sum(_pair_lt(g_h, g_l, uh[:, None], ul[:, None]),
-                  axis=1, dtype=jnp.int32)
-    row = blk_c * 128 + rin
-    row_c = jnp.minimum(row, n_rows - 1)
-
-    # 3) lane within row: gather each target's cumsum row
-    c_h = chi[row_c]
-    c_l = clo[row_c]
-    lane = jnp.sum(_pair_lt(c_h, c_l, uh[:, None], ul[:, None]),
-                   axis=1, dtype=jnp.int32)
-    naive = row_c.astype(jnp.int64) * 128 + lane.astype(jnp.int64)
-
+    uh, ul = _split_i64(u)
+    naive = _blocked_rank_lt(chi, clo, uh, ul)
     naive = jnp.maximum(naive, 1)  # threshold check starts at trade 1
     mi = jnp.arange(1, max_bars + 1, dtype=jnp.int64)
     b = mi + jax.lax.cummax(naive - mi)

@@ -107,16 +107,19 @@ def bar_feature_pipeline_device(price_ticks, amount_units, ci, sides, *,
     bufs = fused_packed_v2_device(price_ticks, amount_units, ci, sides,
                                   interpret=interpret, kernel=scan_kernel)
     _sync(bufs, "products")
-    med = None
-    if amounts_f32 is not None:
-        med = median_rowsort_device(amounts_f32, ci, interpret=interpret,
-                                    max_count=max_count)
-        _sync(med, "medians")
+    # feature graph queued BEFORE the median program: features depend
+    # only on the product buffers, so their readback DMA drains while
+    # the (independent) median sort still occupies the core
     cols = bar_cols_device(bufs, ci, tick_size, amount_scale)
     _sync(cols, "cols")
     t1 = _time.time()
     fpacked, layout = graph.run_device(cols, ts=bar_ts, as_numpy=False)
     _sync(fpacked, "features")
+    med = None
+    if amounts_f32 is not None:
+        med = median_rowsort_device(amounts_f32, ci, interpret=interpret,
+                                    max_count=max_count)
+        _sync(med, "medians")
     t2 = _time.time()
 
     to_copy = tuple(bufs) + (tuple(med) if med is not None else ()) \
