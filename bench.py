@@ -277,6 +277,25 @@ def main():
         except Exception as e:
             print(f"# 1buf variant failed ({type(e).__name__}: {e})",
                   file=sys.stderr)
+        try:  # device-side f64 conversion, final-dtype single buffer
+            mc_f = int(np.max(np.diff(ci_host)))
+            kern_f = "v4" if scan_mode == "rowtail4" else "v2"
+
+            def prod_final():
+                return fused.bar_products_final_device(
+                    tkj, unj, ci, sdj, tick_size=q.tick_size,
+                    amount_scale=q.amount_scale, amounts_f32=amj,
+                    ci_host=ci_host, max_count=mc_f, interpret=interp,
+                    kernel=kern_f)
+
+            t_cold6_0 = time.time()
+            prod_final()
+            t_cold6 = time.time() - t_cold6_0
+            variants["packed+final"], _ = _bench(prod_final, k=3)
+            print(f"# packed+final cold {t_cold6:.1f}s", file=sys.stderr)
+        except Exception as e:
+            print(f"# final variant failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
     if scan_mode == "rowtail":
         try:  # products + medians in ONE compiled program
             t_cold4_0 = time.time()
@@ -296,10 +315,12 @@ def main():
     use_med = {"packed+host": "host",
                "packed+fusedmed": "rowsort+fused"}.get(best, "rowsort")
     use_1buf = best == "packed+rowsort+1buf"
+    use_final = best == "packed+final"
 
     t_products, t_products_med, t_products_max, (ohlcv, direc) = _bench_full(
-        lambda: products(one, medians=use_med, scan=scan_mode,
-                         one_buffer=use_1buf), k=8)
+        (prod_final if use_final else
+         lambda: products(one, medians=use_med, scan=scan_mode,
+                          one_buffer=use_1buf)), k=8)
     t_dev = min(t_dev_v1, t_dev_v2, t_dev_v4)
     print(f"# bar products e2e: min {t_products*1000:.1f}ms / "
           f"median {t_products_med*1000:.1f}ms / max {t_products_max*1000:.1f}ms "
@@ -372,7 +393,13 @@ def main():
         def _dispatch_chain():
             _, ci_p = time_bar_indexer(tsj, 60.0, ts_first=int(ts[0]),
                                        ts_last_i=int(ts[-1]))
-            if use_1buf:
+            if use_final:
+                n_loc = int(tkj.shape[0])
+                bufs = (fused._fused_packed_final_jit(
+                    tkj, unj, sdj, ci_p, jnp.float64(q.tick_size),
+                    jnp.float64(q.amount_scale),
+                    fused._n_rows(n_loc) * 128, interp, _kern),)
+            elif use_1buf:
                 bufs = (fused.fused_packed_one_device(
                     tkj, unj, ci_p, sdj, interpret=interp, kernel=_kern),)
             else:
@@ -385,11 +412,14 @@ def main():
 
         def _drain(pend):
             bufs, med = pend
+            med_np = (np.asarray(med[0]), np.asarray(med[1]))
+            if use_final:
+                return fused._assemble_final(bufs[0], ci_host, med_np,
+                                             q.tick_size, q.amount_scale)
             raw = (fused._unpack_one(bufs[0], ci_host) if use_1buf
                    else fused._unpack_raw(bufs, ci_host))
-            return fused._convert_host(
-                raw, (np.asarray(med[0]), np.asarray(med[1])),
-                q.tick_size, q.amount_scale)
+            return fused._convert_host(raw, med_np, q.tick_size,
+                                       q.amount_scale)
 
         _drain(_dispatch_chain())  # warm
         reps_p = 5

@@ -498,6 +498,166 @@ def fused_packed_one_device(price_ticks, amount_units, ci, sides,
                                  _n_rows(n) * 128, interpret, kernel)
 
 
+# single-buffer FINAL readback row layout (see _fused_packed_final_jit)
+_FINAL_ROWS = ["open_t", "high_t", "low_t", "close_t",
+               "ticks_buy", "ticks_sell", "max_spread_f", "ct_min",
+               "ct_max", "vol_hi", "vol_lo", "dol_hi", "dol_lo",
+               "mean_spread_f", "vol_buy_f", "vol_sell_f", "dol_buy_f",
+               "dol_sell_f", "cv_min_f", "cv_max_f", "cd_min_f",
+               "cd_max_f"]
+
+
+@partial(jax.jit, static_argnames=("n_pad", "interpret", "kernel"))
+def _fused_packed_final_jit(price_ticks, amount_units, sides, ci,
+                            tick_size, amount_scale,
+                            n_pad: int, interpret: bool, kernel: str):
+    """Products with the f64 unit conversion ON DEVICE and one
+    final-dtype readback buffer.
+
+    The raw packed layout reads back ~4.7 MB (6 x i64 sums + 10 x i32 +
+    4 x f32); most finals are float32, so converting on device shrinks
+    the transfer to one (21, n_bars) i32 buffer (~3.7 MB at 45.7k bars)
+    AND folds three transfers into one. OHLC stays as fixed-up i32 price
+    ticks (the host multiplies by tick_size in f64 for free); vwap
+    travels as an f64 hi/lo bit pair. Device f64 is emulated but the
+    arrays are (n_bars,)-sized. Every op replicates _convert_host's
+    expression order for bit-identical finals.
+    """
+    p64, p32, pf = _fused_packed_v2_jit(price_ticks, amount_units, sides,
+                                        ci, n_pad, interpret, kernel)
+    (vol_u, dollar_u, vol_buy_u, vol_sell_u, dol_buy_u, dol_sell_u) = p64
+    (open_raw, high_t, low_t, close_t, ticks_buy, ticks_sell,
+     cum_spread_t, max_spread_t, ct_min, ct_max) = p32
+    cv_min, cv_max, cd_min, cd_max = pf
+    f64 = jnp.float64
+    ts = tick_size.astype(f64)
+    asc = amount_scale.astype(f64)
+    counts = jnp.diff(ci)
+    empty = counts == 0
+
+    open_t = jnp.where(empty, close_t, open_raw)
+    high = jnp.where(empty, close_t, high_t)
+    low = jnp.where(empty, close_t, low_t)
+
+    def bits(xf32):
+        return jax.lax.bitcast_convert_type(xf32, jnp.int32)
+
+    # vwap/volume need f64 division of i64 sums — f64<->i64 bitcasts do
+    # not lower on this TPU, so the vol/dollar sums travel as hi/lo i32
+    # pairs and the host computes those two columns (tiny f64 work)
+    total_ticks = (ticks_buy.astype(jnp.int64)
+                   + ticks_sell.astype(jnp.int64))
+    mean_spread = (cum_spread_t.astype(f64) * ts
+                   / total_ticks.astype(f64)).astype(jnp.float32)
+
+    def minmax_f32(mn, mx, factor):
+        big = jnp.float64(_F32BIG / 2)
+        mnf = jnp.where(empty | (mn.astype(f64) >= big), 1e9,
+                        jnp.minimum(mn.astype(f64) * factor, 1e9))
+        mxf = jnp.where(empty | (mx.astype(f64) <= -big), -1e9,
+                        jnp.maximum(mx.astype(f64) * factor, -1e9))
+        return mnf.astype(jnp.float32), mxf.astype(jnp.float32)
+
+    cv_min_o, cv_max_o = minmax_f32(cv_min, cv_max, asc)
+    cd_min_o, cd_max_o = minmax_f32(cd_min, cd_max, asc * ts)
+    ct_min_o = jnp.where(empty | (ct_min == _I32MAX), 10**9,
+                         jnp.minimum(ct_min, 10**9))
+    ct_max_o = jnp.where(empty | (ct_max == _I32MIN), -(10**9),
+                         jnp.maximum(ct_max, -(10**9)))
+    msp = jnp.where(empty, 0, max_spread_t)
+    max_spread_f = (jnp.maximum(msp, 0).astype(f64)
+                    * ts).astype(jnp.float32)
+
+    rows = [open_t, high, low, close_t, ticks_buy, ticks_sell,
+            bits(max_spread_f), ct_min_o, ct_max_o,
+            (vol_u >> 32).astype(jnp.int32),
+            vol_u.astype(jnp.uint32).astype(jnp.int32),
+            (dollar_u >> 32).astype(jnp.int32),
+            dollar_u.astype(jnp.uint32).astype(jnp.int32),
+            bits(mean_spread),
+            bits((vol_buy_u.astype(f64) * asc).astype(jnp.float32)),
+            bits((vol_sell_u.astype(f64) * asc).astype(jnp.float32)),
+            bits((dol_buy_u.astype(f64) * asc * ts).astype(jnp.float32)),
+            bits((dol_sell_u.astype(f64) * asc * ts).astype(jnp.float32)),
+            bits(cv_min_o), bits(cv_max_o), bits(cd_min_o),
+            bits(cd_max_o)]
+    return jnp.stack(rows)
+
+
+def _assemble_final(buf, ci_host, med, tick_size, amount_scale):
+    """Host assembly of the device-converted finals (tiny f64 work:
+    OHLC tick scaling plus volume/vwap from the i64 sum pairs — the
+    f64<->i64 bitcasts vwap would need do not lower on this TPU)."""
+    b = np.asarray(buf)
+    r = {name: b[i] for i, name in enumerate(_FINAL_ROWS)}
+    counts = np.diff(np.asarray(ci_host))
+    med_a, med_b = med
+    tsf, asc = float(tick_size), float(amount_scale)
+
+    def f32(name):
+        return r[name].view(np.float32)
+
+    median = (med_a.astype(np.float64) + med_b.astype(np.float64)) * 0.5
+    vol_u = (r["vol_hi"].astype(np.int64) << 32) \
+        | r["vol_lo"].view(np.uint32).astype(np.int64)
+    dollar_u = (r["dol_hi"].astype(np.int64) << 32) \
+        | r["dol_lo"].view(np.uint32).astype(np.int64)
+    empty = counts == 0
+    vol = vol_u.astype(np.float64) * asc
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vwap = np.where(vol_u > 0,
+                        dollar_u / np.where(vol_u > 0, vol_u, 1) * tsf,
+                        0.0)
+    ohlcv = {
+        "open": r["open_t"].astype(np.float64) * tsf,
+        "high": r["high_t"].astype(np.float64) * tsf,
+        "low": r["low_t"].astype(np.float64) * tsf,
+        "close": r["close_t"].astype(np.float64) * tsf,
+        "volume": np.where(empty, 0.0, vol).astype(np.float32),
+        "vwap": np.where(empty, 0.0, vwap),
+        "trades": counts,
+        "median_trade_size": np.where(empty, 0.0, median),
+    }
+    directional = {
+        "ticks_buy": r["ticks_buy"].astype(np.int64),
+        "ticks_sell": r["ticks_sell"].astype(np.int64),
+        "volume_buy": f32("vol_buy_f"),
+        "volume_sell": f32("vol_sell_f"),
+        "dollars_buy": f32("dol_buy_f"),
+        "dollars_sell": f32("dol_sell_f"),
+        "mean_spread": f32("mean_spread_f"),
+        "max_spread": f32("max_spread_f"),
+        "cum_ticks_min": r["ct_min"].astype(np.int64),
+        "cum_ticks_max": r["ct_max"].astype(np.int64),
+        "cum_volume_min": f32("cv_min_f"),
+        "cum_volume_max": f32("cv_max_f"),
+        "cum_dollars_min": f32("cd_min_f"),
+        "cum_dollars_max": f32("cd_max_f"),
+    }
+    return ohlcv, directional
+
+
+def bar_products_final_device(price_ticks, amount_units, ci, sides, *,
+                              tick_size, amount_scale, amounts_f32,
+                              ci_host=None, max_count=None,
+                              interpret: bool = False,
+                              kernel: str = "v4"):
+    """Products + medians with device-side f64 conversion and ONE
+    final-dtype readback buffer (see :func:`_fused_packed_final_jit`).
+    Bit-identical outputs to :func:`bar_products_fused`."""
+    n = int(price_ticks.shape[0])
+    buf = _fused_packed_final_jit(price_ticks, amount_units, sides, ci,
+                                  jnp.float64(tick_size),
+                                  jnp.float64(amount_scale),
+                                  _n_rows(n) * 128, interpret, kernel)
+    med = median_rowsort_device(amounts_f32, ci, interpret=interpret,
+                                max_count=max_count)
+    _start_host_copies((buf,) + tuple(med))
+    return _assemble_final(buf, ci_host if ci_host is not None else ci,
+                           (np.asarray(med[0]), np.asarray(med[1])),
+                           tick_size, amount_scale)
+
+
 def _unpack_one(buf, ci_host):
     """Rebuild the 21-tuple raw layout from the single packed buffer."""
     b = np.asarray(buf)

@@ -52,10 +52,15 @@ def _bar_partials(px, amt, side, ci, axis_name):
     n_bars = ci.shape[0] - 1
     me = jax.lax.axis_index(axis_name)
     offset = (me * local_n).astype(jnp.int64)
-    gidx = offset + jnp.arange(local_n, dtype=jnp.int64)
+    # all per-element index arithmetic happens in the LOCAL domain: the
+    # shard offset shifts the (n_bars,)-sized ci instead of an
+    # O(local_n) `offset + iota` plane (device-work overhead, SCALING)
+    lidx = jnp.arange(local_n, dtype=jnp.int64)
+    ci_l = ci - offset
 
-    bar_id = jnp.clip(jnp.searchsorted(ci[1:], gidx, side="left"), 0, n_bars - 1)
-    valid = (gidx > ci[0]) & (gidx <= ci[-1])
+    bar_id = jnp.clip(jnp.searchsorted(ci_l[1:], lidx, side="left"),
+                      0, n_bars - 1)
+    valid = (lidx > ci_l[0]) & (lidx <= ci_l[-1])
 
     def seg_sum(x):
         local = jax.ops.segment_sum(jnp.where(valid, x, 0.0), bar_id,
@@ -116,15 +121,19 @@ def _bar_partials(px, amt, side, ci, axis_name):
         all_totals = jax.lax.all_gather(total, axis_name)  # (n_shards,)
         carry = jnp.sum(jnp.where(jnp.arange(all_totals.shape[0]) < me,
                                   all_totals, 0.0))
-        gprefix = local_prefix + carry              # global inclusive prefix
-        # base per bar: global prefix at index ci[i] (owned by one shard)
+        # base per bar: global prefix at index ci[i] (owned by one shard).
+        # The shard carry folds into the (n_bars,)-sized base instead of
+        # a per-element `local_prefix + carry` plane: local - (base -
+        # carry) == (local + carry) - base, one O(n_bars) subtraction
+        # instead of an O(local_n) add (SCALING device-work overhead).
         pos = ci[:-1]
         lp = pos - offset
         mine = (lp >= 0) & (lp < local_n)
-        base_vals = jnp.where(mine, gprefix[jnp.clip(lp, 0, local_n - 1)], 0.0)
+        base_vals = jnp.where(
+            mine, local_prefix[jnp.clip(lp, 0, local_n - 1)] + carry, 0.0)
         # bars whose anchor precedes all trades (ci = -1) have base 0
         base = jax.lax.psum(jnp.where(pos >= 0, base_vals, 0.0), axis_name)
-        local_cum = gprefix - base[bar_id]
+        local_cum = local_prefix - (base - carry)[bar_id]
         m = valid & (s != 0)
         mx = jax.lax.all_gather(jax.ops.segment_max(
             jnp.where(m, local_cum, -jnp.inf), bar_id, num_segments=n_bars,

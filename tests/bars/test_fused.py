@@ -396,6 +396,27 @@ class TestPackedVariant:
                     want = np.median(amount[s:e].astype(np.float64))
                     assert (ma[i] + mb[i]) / 2 == want, (C, i)
 
+    def test_final_readback_matches(self):
+        # device-side f64 conversion + single final-dtype buffer must be
+        # bit-identical to the host-convert path (same IEEE op order)
+        price, amount, side, q, ci = _mk(seed=66, n=6000, n_bars=60)
+        args = (jnp.asarray(q.price_ticks), jnp.asarray(q.amount_units),
+                jnp.asarray(ci), jnp.asarray(side))
+        o3, d3 = fused.bar_products_fused(
+            *args, tick_size=q.tick_size, amount_scale=q.amount_scale,
+            amounts_f32=jnp.asarray(amount), ci_host=ci, packed=True,
+            interpret=True)
+        of, df = fused.bar_products_final_device(
+            *args, tick_size=q.tick_size, amount_scale=q.amount_scale,
+            amounts_f32=jnp.asarray(amount), ci_host=ci, interpret=True,
+            kernel="v2")
+        for k in o3:
+            np.testing.assert_array_equal(np.asarray(o3[k]),
+                                          np.asarray(of[k]), err_msg=k)
+        for k in d3:
+            np.testing.assert_array_equal(np.asarray(d3[k]),
+                                          np.asarray(df[k]), err_msg=k)
+
     def test_rowtail_v3_matches_v2_plane(self):
         # the batched-row-phase kernel variant must be bit-identical to
         # the per-quantity v2 kernel (it is kept as a tested negative
