@@ -635,7 +635,8 @@ def main():
                 bar_ts=bar_ts_dev, amounts_f32=amj, ci_host=ci_host,
                 max_count=max_count, interpret=interp,
                 scan_kernel=scan_kern,
-                debug_timing=({"1": True, "2": "sync"}.get(os.environ.get("FMKT_PIPE_DEBUG", ""), False)))
+                feat_dtype=(jnp.float32 if g is graph32 and g is not None
+                            else None))
             ev = cusum_filter(o_c["close"][:n_bars], np.array([0.002]))
             ev = ev[ev < cut]
             if len(ev) == 0:
@@ -670,6 +671,56 @@ def main():
               f"{comb_dev:,.0f} tr/s, {comb_dev/REF_TRADES_PER_SEC:.3f} "
               f"vs_baseline, {t_e2e/t_comb:.2f}x of products-only",
               file=sys.stderr)
+        # matched-methodology pipelined combined: dispatch month i+1's
+        # full chain before draining month i (same loop shape as the
+        # headline's pipelined products number)
+        try:
+            g_best = graph32 if (feat_dtype == "f32"
+                                 and graph32 is not None) else graph
+            fdt = jnp.float32 if g_best is graph32 else None
+
+            def _comb_dispatch():
+                _, ci_r = time_bar_indexer(tsj, 60.0, ts_first=int(ts[0]),
+                                           ts_last_i=int(ts[-1]))
+                return fpipe.bar_feature_dispatch(
+                    tkj, unj, ci_r, sdj, tick_size=q.tick_size,
+                    amount_scale=q.amount_scale, graph=g_best,
+                    bar_ts=bar_ts_dev, amounts_f32=amj,
+                    max_count=max_count, interpret=interp,
+                    scan_kernel=scan_kern, feat_dtype=fdt)
+
+            def _comb_drain(h):
+                o_c, d_c, f_c = fpipe.bar_feature_drain(
+                    h, ci_host, q.tick_size, q.amount_scale)
+                ev = cusum_filter(o_c["close"][:n_bars],
+                                  np.array([0.002]))
+                ev = ev[ev < cut]
+                if len(ev) == 0:
+                    ev = np.arange(10, cut, 97)
+                tg = np.full(len(ev), 0.003)
+                lab = triple_barrier(bar_ts, o_c["close"][:n_bars], ev,
+                                     tg, (1.0, 1.0), 3600.0,
+                                     min_close_time_sec=0.0)
+                np.asarray(_leaf(lab)[:1])
+
+            _comb_drain(_comb_dispatch())  # warm
+            reps_c = 4
+            t0 = time.time()
+            pend = _comb_dispatch()
+            for _ in range(reps_c - 1):
+                nxt = _comb_dispatch()
+                _comb_drain(pend)
+                pend = nxt
+            _comb_drain(pend)
+            t_comb_pipe = (time.time() - t0) / reps_c
+            print(f"# pipelined combined: {t_comb_pipe*1000:.1f}ms/month "
+                  f"= {N_TRADES/t_comb_pipe:,.0f} tr/s "
+                  f"({N_TRADES/t_comb_pipe/REF_TRADES_PER_SEC:.3f} "
+                  f"vs_baseline)", file=sys.stderr)
+        except Exception as e:
+            t_comb_pipe = None
+            print(f"# pipelined combined failed: {e!r}", file=sys.stderr)
+
         extra["config5_combined_pipeline"] = {
             "t_total_ms": round(t_comb * 1e3, 2),
             "t_total_median_ms": round(t_comb_med * 1e3, 2),
@@ -683,6 +734,15 @@ def main():
             "additive_r4_style_ms": round(
                 (t_e2e + t_cusum + t_tbm + t_feat) * 1e3, 2),
         }
+        if t_comb_pipe is not None:
+            extra["config5_combined_pipeline"].update({
+                "t_pipelined_ms": round(t_comb_pipe * 1e3, 2),
+                "pipelined_trades_per_sec": round(N_TRADES / t_comb_pipe),
+                "pipelined_vs_baseline": round(
+                    N_TRADES / t_comb_pipe / REF_TRADES_PER_SEC, 3),
+                "pipelined_ratio_vs_pipelined_products": round(
+                    t_pipe / t_comb_pipe, 3) if "t_pipe" in dir() else None,
+            })
     except Exception as e:
         print(f"# device-resident combined failed: {e!r}", file=sys.stderr)
 

@@ -329,9 +329,11 @@ def dollar_bar_indexer_q(timestamps, price_ticks, amount_units, threshold,
         chi = (c >> 32).astype(jnp.int32).reshape(-1, 128)
         clo = c.astype(jnp.uint32).astype(jnp.int32).reshape(-1, 128)
     last = n - 1
-    hi_v = int(chi[last >> 7, last & 127])
-    lo_v = int(clo[last >> 7, last & 127]) & 0xFFFFFFFF
-    total = float((hi_v << 32) | lo_v)
+    # ONE tiny fetch for both carry words (each host fetch pays a full
+    # transport round-trip)
+    hilo = np.asarray(jnp.stack([chi[last >> 7, last & 127],
+                                 clo[last >> 7, last & 127]]))
+    total = float((int(hilo[0]) << 32) | (int(hilo[1]) & 0xFFFFFFFF))
     max_bars = min(max(int(total / thr_scaled) + 1, 1), n)
     b, count = _dollar_boundaries_blocked(chi, clo, thr_scaled,
                                           max_bars, n)

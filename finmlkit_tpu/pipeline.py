@@ -8,15 +8,16 @@ the feature compute itself). The reference chains these stages in-memory
 for free (/root/reference/finmlkit/feature/kit.py:1014-1085,
 label/kit.py:272-313).
 
-Here the chain stays on the device: the packed bar-products program's
-output buffers feed a tiny f64 column jit (same empty-bar fixups as
-bar/fused._convert_host), whose outputs feed the whole-graph feature
-program (feature/fuse.FusedGraph.run_device) — no host hop between
-stages; every readback (bar buffers, medians, feature buffers) is
-started asynchronously and drained once at the end. CUSUM event
-sampling and triple-barrier labeling consume the bar closes on the host
-(they are microsecond-scale native scans over ~45k bars, see
-sampling/filters.py).
+Here the chain stays on the device: the single final-dtype bar-products
+buffer (bar/fused._fused_packed_final_jit — f64 conversion on device,
+one ~3.9 MB readback) feeds a tiny f64 column jit whose outputs feed
+the whole-graph feature program (feature/fuse.FusedGraph.run_device) —
+no host hop between stages; every readback (bar buffer, medians,
+feature buffers) is started asynchronously and drained once at the end.
+The dispatch/drain split lets callers pipeline consecutive months
+(dispatch month i+1 before draining month i). CUSUM event sampling and
+triple-barrier labeling consume the bar closes on the host (they are
+microsecond-scale native scans over ~45k bars, see sampling/filters.py).
 """
 from typing import Dict
 
@@ -24,123 +25,104 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bar.fused import (_start_host_copies, _unpack_raw, _convert_host,
-                        fused_packed_v2_device, median_rowsort_device)
+from .bar.fused import (_FINAL_ROWS, _assemble_final,
+                        _fused_packed_final_jit, _n_rows,
+                        _start_host_copies, median_rowsort_device)
 
-__all__ = ["bar_feature_pipeline_device", "bar_cols_device"]
+__all__ = ["bar_feature_pipeline_device", "bar_feature_dispatch",
+           "bar_feature_drain", "bar_cols_from_final"]
+
+_ROW_IDX = {name: i for i, name in enumerate(_FINAL_ROWS)}
 
 
 @jax.jit
-def _bar_cols_jit(p64, p32, counts, tick_size, amount_scale):
-    """Feature-ready f64 bar columns from the packed product buffers.
+def _cols_from_final_jit(buf, counts, tick_size, amount_scale):
+    """Feature-ready f64 bar columns from the final-dtype buffer.
 
-    Mirrors bar/fused._convert_host's empty-bar fixups (open/high/low
-    fall back to the close; volume/vwap zero) so the device-resident
-    feature graph sees EXACTLY the columns the host path would build.
+    The buffer rows already carry the empty-bar fixups (open/high/low
+    fall back to the close), so the columns match the host path's
+    DataFrame bit-for-bit.
     """
-    vol_u, dollar_u = p64[0], p64[1]
-    open_raw, high_t, low_t, close_t = p32[0], p32[1], p32[2], p32[3]
-    empty = counts == 0
     ts64 = tick_size.astype(jnp.float64)
     asc = amount_scale.astype(jnp.float64)
 
-    close = close_t.astype(jnp.float64) * ts64
-    open_ = jnp.where(empty, close_t, open_raw).astype(jnp.float64) * ts64
-    high = jnp.where(empty, close_t, high_t).astype(jnp.float64) * ts64
-    low = jnp.where(empty, close_t, low_t).astype(jnp.float64) * ts64
-    volf = vol_u.astype(jnp.float64) * asc
-    vol = jnp.where(empty, 0.0, volf)
+    def row(name):
+        return buf[_ROW_IDX[name]]
+
+    def pair(hi, lo):
+        return (row(hi).astype(jnp.int64) << 32) | \
+            row(lo).astype(jnp.uint32).astype(jnp.int64)
+
+    vol_u = pair("vol_hi", "vol_lo")
+    dollar_u = pair("dol_hi", "dol_lo")
+    empty = counts == 0
+    vol = vol_u.astype(jnp.float64) * asc
     vwap = jnp.where(vol_u > 0,
                      dollar_u.astype(jnp.float64)
                      / jnp.where(vol_u > 0, vol_u, 1).astype(jnp.float64)
                      * ts64, 0.0)
     return {
-        "open": open_, "high": high, "low": low, "close": close,
+        "open": row("open_t").astype(jnp.float64) * ts64,
+        "high": row("high_t").astype(jnp.float64) * ts64,
+        "low": row("low_t").astype(jnp.float64) * ts64,
+        "close": row("close_t").astype(jnp.float64) * ts64,
         # the host path stores volume as float32 and the feature frame
         # upcasts it back — replicate the rounding for parity
-        "volume": vol.astype(jnp.float32).astype(jnp.float64),
-        "vwap": vwap,
+        "volume": jnp.where(empty, 0.0, vol).astype(jnp.float32)
+                     .astype(jnp.float64),
+        "vwap": jnp.where(empty, 0.0, vwap),
         "trades": counts,
     }
 
 
-def bar_cols_device(bufs, ci, tick_size, amount_scale) -> Dict[str, jnp.ndarray]:
-    """Device f64 bar columns from packed product buffers (tiny jit)."""
-    p64, p32, _ = bufs
-    counts = jnp.diff(ci)
-    return _bar_cols_jit(p64, p32, counts,
-                         jnp.float64(tick_size), jnp.float64(amount_scale))
+def bar_cols_from_final(buf, ci, tick_size, amount_scale) -> Dict[str, jnp.ndarray]:
+    return _cols_from_final_jit(buf, jnp.diff(ci),
+                                jnp.float64(tick_size),
+                                jnp.float64(amount_scale))
 
 
-def bar_feature_pipeline_device(price_ticks, amount_units, ci, sides, *,
-                                tick_size, amount_scale, graph,
-                                bar_ts=None, amounts_f32=None,
-                                ci_host=None, max_count=None,
-                                interpret: bool = False,
-                                scan_kernel: str = "v2",
-                                debug_timing: bool = False):
-    """Bars + medians + whole-graph features with NO host hop between
-    stages.
-
-    :param graph: a compiled :class:`finmlkit_tpu.feature.fuse.FusedGraph`
-        whose planned input columns are a subset of the bar columns
-        produced by :func:`bar_cols_device` (open/high/low/close/volume/
-        vwap/trades).
-    :param bar_ts: optional device int64 ns timestamps per bar (for
-        time-aware transforms).
-    :returns: (ohlcv dict, directional dict, features dict) — host numpy.
-    """
-    import time as _time
-
-    def _sync(x, tag):
-        # debug_timing="sync" mode: serialize stages to attribute time
-        if debug_timing == "sync":
-            import sys
-            t = _time.time()
-            jax.block_until_ready(x)
-            np_probe = jax.tree_util.tree_leaves(x)[0][:1]
-            np.asarray(np_probe)
-            print(f"#     sync {tag}: {_time.time() - t:.3f}s",
-                  file=sys.stderr)
-
-    t0 = _time.time()
-    bufs = fused_packed_v2_device(price_ticks, amount_units, ci, sides,
-                                  interpret=interpret, kernel=scan_kernel)
-    _sync(bufs, "products")
-    # feature graph queued BEFORE the median program: features depend
-    # only on the product buffers, so their readback DMA drains while
-    # the (independent) median sort still occupies the core
-    cols = bar_cols_device(bufs, ci, tick_size, amount_scale)
-    _sync(cols, "cols")
-    t1 = _time.time()
+def bar_feature_dispatch(price_ticks, amount_units, ci, sides, *,
+                         tick_size, amount_scale, graph, bar_ts=None,
+                         amounts_f32=None, max_count=None,
+                         interpret: bool = False,
+                         scan_kernel: str = "v4",
+                         feat_dtype=None):
+    """Queue the full device chain (bars -> medians -> features) and
+    start every readback DMA; returns opaque handles for
+    :func:`bar_feature_drain`. Nothing blocks."""
+    n = int(price_ticks.shape[0])
+    buf = _fused_packed_final_jit(price_ticks, amount_units, sides, ci,
+                                  jnp.float64(tick_size),
+                                  jnp.float64(amount_scale),
+                                  _n_rows(n) * 128, interpret,
+                                  scan_kernel)
+    cols = bar_cols_from_final(buf, ci, tick_size, amount_scale)
+    if feat_dtype is not None:
+        cols = {k: (v.astype(feat_dtype) if v.dtype == jnp.float64 else v)
+                for k, v in cols.items()}
     fpacked, layout = graph.run_device(cols, ts=bar_ts, as_numpy=False)
-    _sync(fpacked, "features")
     med = None
     if amounts_f32 is not None:
         med = median_rowsort_device(amounts_f32, ci, interpret=interpret,
                                     max_count=max_count)
-        _sync(med, "medians")
-    t2 = _time.time()
-
-    to_copy = tuple(bufs) + (tuple(med) if med is not None else ()) \
-        + tuple(fpacked.values())
+    to_copy = (buf,) + tuple(fpacked.values()) \
+        + (tuple(med) if med is not None else ())
     _start_host_copies(to_copy)
+    return buf, med, fpacked, layout
 
-    raw = _unpack_raw(bufs, ci_host if ci_host is not None else ci)
+
+def bar_feature_drain(handles, ci_host, tick_size, amount_scale):
+    """Drain all readbacks; returns (ohlcv, directional, features)."""
+    buf, med, fpacked, layout = handles
     if med is None:
-        n_bars = raw[4].shape[0]
-        med_np = (np.zeros(n_bars, np.float32), np.zeros(n_bars, np.float32))
+        n_bars = int(buf.shape[1])
+        med_np = (np.zeros(n_bars, np.float32),
+                  np.zeros(n_bars, np.float32))
     else:
         med_np = (np.asarray(med[0]), np.asarray(med[1]))
-    ohlcv, direc = _convert_host(raw, med_np, tick_size, amount_scale)
-    t3 = _time.time()
-
+    ohlcv, direc = _assemble_final(buf, ci_host, med_np, tick_size,
+                                   amount_scale)
     packed_np = jax.device_get(fpacked)
-    if debug_timing:
-        import sys
-        print(f"#   pipeline stages: dispatch(bars+cols) {t1-t0:.3f}s "
-              f"feat-dispatch {t2-t1:.3f}s products-drain {t3-t2:.3f}s "
-              f"feat-drain {_time.time()-t3:.3f}s", file=sys.stderr)
     counters: Dict[str, int] = {}
     feats = {}
     for key, col in layout:
@@ -148,3 +130,33 @@ def bar_feature_pipeline_device(price_ticks, amount_units, ci, sides, *,
         counters[key] = i + 1
         feats[col] = packed_np[key][i]
     return ohlcv, direc, feats
+
+
+def bar_feature_pipeline_device(price_ticks, amount_units, ci, sides, *,
+                                tick_size, amount_scale, graph,
+                                bar_ts=None, amounts_f32=None,
+                                ci_host=None, max_count=None,
+                                interpret: bool = False,
+                                scan_kernel: str = "v4",
+                                feat_dtype=None,
+                                debug_timing: bool = False):
+    """Bars + medians + whole-graph features with NO host hop between
+    stages (one dispatch pass, one drain pass).
+
+    :param graph: a compiled :class:`finmlkit_tpu.feature.fuse.FusedGraph`
+        whose planned input columns are a subset of the bar columns
+        (open/high/low/close/volume/vwap/trades).
+    :param bar_ts: optional device int64 ns timestamps per bar.
+    :param feat_dtype: cast the f64 feature inputs to this dtype before
+        the graph (e.g. jnp.float32 — the TPU fast path; f64 is
+        emulated on TPU).
+    :returns: (ohlcv dict, directional dict, features dict) — host numpy.
+    """
+    handles = bar_feature_dispatch(
+        price_ticks, amount_units, ci, sides, tick_size=tick_size,
+        amount_scale=amount_scale, graph=graph, bar_ts=bar_ts,
+        amounts_f32=amounts_f32, max_count=max_count, interpret=interpret,
+        scan_kernel=scan_kernel, feat_dtype=feat_dtype)
+    return bar_feature_drain(handles,
+                             ci_host if ci_host is not None else ci,
+                             tick_size, amount_scale)
