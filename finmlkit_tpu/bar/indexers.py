@@ -300,7 +300,7 @@ def _dollar_boundaries_blocked(chi, clo, threshold: float, max_bars: int,
 
 
 def dollar_bar_indexer_q(timestamps, price_ticks, amount_units, threshold,
-                         tick_size, amount_scale):
+                         tick_size, amount_scale, max_bars: int = None):
     """Integer-exact dollar-bar indexer over quantized trades.
 
     Dollar flow per trade is ``ticks * units`` (int64), right-shifted by
@@ -328,13 +328,16 @@ def dollar_bar_indexer_q(timestamps, price_ticks, amount_units, threshold,
             [c, jnp.broadcast_to(c[-1:], (n_pad - n,))]) if n_pad > n else c
         chi = (c >> 32).astype(jnp.int32).reshape(-1, 128)
         clo = c.astype(jnp.uint32).astype(jnp.int32).reshape(-1, 128)
-    last = n - 1
-    # ONE tiny fetch for both carry words (each host fetch pays a full
-    # transport round-trip)
-    hilo = np.asarray(jnp.stack([chi[last >> 7, last & 127],
-                                 clo[last >> 7, last & 127]]))
-    total = float((int(hilo[0]) << 32) | (int(hilo[1]) & 0xFFFFFFFF))
-    max_bars = min(max(int(total / thr_scaled) + 1, 1), n)
+    if max_bars is None:
+        last = n - 1
+        # ONE tiny fetch for both carry words (each host fetch pays a
+        # full transport round-trip; pass ``max_bars`` to skip it when
+        # the caller knows an upper bound on the bar count)
+        hilo = np.asarray(jnp.stack([chi[last >> 7, last & 127],
+                                     clo[last >> 7, last & 127]]))
+        total = float((int(hilo[0]) << 32) | (int(hilo[1]) & 0xFFFFFFFF))
+        max_bars = int(total / thr_scaled) + 1
+    max_bars = min(max(max_bars, 1), n)
     b, count = _dollar_boundaries_blocked(chi, clo, thr_scaled,
                                           max_bars, n)
     count = int(count)
@@ -498,7 +501,8 @@ def cusum_bar_indexer_host(timestamps, prices, sigma, sigma_floor: float,
 # CUSUM bars (chunked event-jump scan)
 # ---------------------------------------------------------------------------
 
-_CUSUM_CHUNK = 2048
+_CUSUM_CHUNK = 8192
+_CUSUM_EVENTS_PER_CHUNK = 4   # unrolled in-chunk event extractions
 
 
 @partial(jax.jit, static_argnames=("max_bars", "chunk"))
@@ -528,43 +532,64 @@ def _cusum_boundaries(rets: jnp.ndarray, lam: jnp.ndarray, can_close: jnp.ndarra
         pos, _, _, k, _ = state
         return (pos < n) & (k < max_bars)
 
+    iota = jnp.arange(chunk, dtype=jnp.int64)
+    zero = jnp.zeros((), rets.dtype)
+    K = _CUSUM_EVENTS_PER_CHUNK
+
     def body(state):
+        # Up to K events are extracted per chunk slice (unrolled inner
+        # steps): after an event at e the closed form restarts with the
+        # prefix re-based at big[e] and the running min/max windowed to
+        # (e, .] — one masked cummin/cummax pass per inner step. The
+        # outer loop therefore advances a full chunk whenever a chunk
+        # holds <= K events, instead of one bar per iteration (the
+        # round-4 formulation's ~40k iterations at monthly counts).
         pos, sp0, sn0, k, out = state
         r = jax.lax.dynamic_slice(rets_p, (pos,), (chunk,))
         lm = jax.lax.dynamic_slice(lam_p, (pos,), (chunk,))
         cc = jax.lax.dynamic_slice(can_p, (pos,), (chunk,))
         big = jnp.cumsum(r)
-        s_pos = jnp.maximum(sp0 + big, big - jax.lax.cummin(big))
-        s_neg = jnp.minimum(sn0 + big, big - jax.lax.cummax(big))
-        in_range = pos + jnp.arange(chunk, dtype=jnp.int64) < n
-        pos_hit = s_pos >= lm
-        neg_hit = s_neg <= -lm
-        ev = cc & in_range & (pos_hit | neg_hit)
-        has_ev = jnp.any(ev)
-        e = jnp.argmax(ev).astype(jnp.int64)  # first event offset in chunk
-        ev_idx = pos + e
+        in_range = pos + iota < n
+        valid_ev = cc & in_range
 
-        # state at the event (before reset)
-        spe, sne = s_pos[e], s_neg[e]
-        # reference resets only the triggered side; s_pos takes precedence
-        trig_pos = pos_hit[e]
-        zero = jnp.zeros((), rets.dtype)
-        new_sp = jnp.where(trig_pos, zero, spe)
-        new_sn = jnp.where(trig_pos, sne, zero)
+        sp, sn = sp0, sn0
+        last_e = jnp.int64(-1)
+        has = jnp.bool_(False)
+        s_pos = s_neg = None
+        for _ in range(K):
+            mask = iota > last_e
+            base = jnp.where(last_e >= 0, big[jnp.maximum(last_e, 0)],
+                             zero)
+            D = big - base
+            runmin = jax.lax.cummin(jnp.where(mask, big, jnp.inf)) - base
+            runmax = jax.lax.cummax(jnp.where(mask, big, -jnp.inf)) - base
+            s_pos = jnp.maximum(sp + D, D - runmin)
+            s_neg = jnp.minimum(sn + D, D - runmax)
+            pos_hit = s_pos >= lm
+            ev = mask & valid_ev & (pos_hit | (s_neg <= -lm))
+            has = jnp.any(ev) & (k < max_bars)
+            e = jnp.argmax(ev).astype(jnp.int64)
+            out = out.at[jnp.minimum(k, max_bars - 1)].set(
+                jnp.where(has, pos + e,
+                          out[jnp.minimum(k, max_bars - 1)]))
+            k = k + jnp.where(has, 1, 0)
+            # reference resets only the triggered side; s+ precedence
+            trig_pos = pos_hit[e]
+            sp = jnp.where(has, jnp.where(trig_pos, zero, s_pos[e]), sp)
+            sn = jnp.where(has, jnp.where(trig_pos, s_neg[e], zero), sn)
+            last_e = jnp.where(has, e, last_e)
 
-        # carry to next chunk when no event
+        # if the K-th step still found an event there may be more in
+        # this chunk: re-enter at last_e + 1 with the post-event state.
+        # Otherwise the final step's s arrays describe the last segment
+        # and the chunk-end value is the carry.
         last = jnp.minimum(n - 1 - pos, chunk - 1)
-        carry_sp, carry_sn = s_pos[last], s_neg[last]
-
-        out = out.at[k].set(jnp.where(has_ev, ev_idx, out[k]))
-        return (jnp.where(has_ev, ev_idx + 1, pos + chunk),
-                jnp.where(has_ev, new_sp, carry_sp),
-                jnp.where(has_ev, new_sn, carry_sn),
-                k + jnp.where(has_ev, 1, 0),
-                out)
+        return (jnp.where(has, pos + last_e + 1, pos + chunk),
+                jnp.where(has, sp, s_pos[last]),
+                jnp.where(has, sn, s_neg[last]),
+                k, out)
 
     out = jnp.zeros((max_bars,), jnp.int64)
-    zero = jnp.zeros((), rets.dtype)
     sp0 = zero if sp_init is None else jnp.asarray(sp_init, rets.dtype)
     sn0 = zero if sn_init is None else jnp.asarray(sn_init, rets.dtype)
     init = (start + 1, sp0, sn0, jnp.int64(0), out)
@@ -591,15 +616,23 @@ def cusum_bar_indexer(timestamps: jnp.ndarray, prices: jnp.ndarray,
     pathologically there; log returns keep ~1e-7 relative precision so
     boundaries at exact threshold equality may rarely shift).
     """
+    from ..ops.pallas_scan import _runs_on_tpu, fast_ffill
+
     dt = jnp.float64 if dtype is None else jnp.dtype(dtype)
     n = prices.shape[0]
     sig = sigma.astype(dt)
     isnan = jnp.isnan(sig)
     first_valid = jnp.argmin(isnan).astype(jnp.int64)  # first non-NaN index
-    # forward-fill NaNs (from first_valid on; leading NaNs are before start)
-    idx = jnp.arange(n)
-    last_valid = jax.lax.cummax(jnp.where(isnan, -1, idx))
-    sig_filled = sig[jnp.clip(last_valid, 0, n - 1)]
+    # forward-fill NaNs (from first_valid on; leading NaNs are before
+    # start). On TPU the gather formulation costs ~37ns/element (the
+    # hidden 1.45s of the round-4 CUSUM config) — the Pallas last-fill
+    # scan replaces it on the f32 fast path.
+    if dt == jnp.float32 and _runs_on_tpu(sig):
+        sig_filled = fast_ffill(sig, ~isnan)
+    else:
+        idx = jnp.arange(n)
+        last_valid = jax.lax.cummax(jnp.where(isnan, -1, idx))
+        sig_filled = sig[jnp.clip(last_valid, 0, n - 1)]
     lam = jnp.maximum(jnp.asarray(sigma_mult, dt) * sig_filled,
                       jnp.asarray(sigma_floor, dt))
 
@@ -608,7 +641,10 @@ def cusum_bar_indexer(timestamps: jnp.ndarray, prices: jnp.ndarray,
     can_close = jnp.concatenate([timestamps[:-1] != timestamps[1:],
                                  jnp.ones((1,), jnp.bool_)])
 
-    mb = int(max_bars) if max_bars is not None else max(min(n, 1 << 20), 2)
+    # initial buffer 2^16 (grows 4x on saturation): the event buffer is
+    # a while_loop carry and XLA copies it per .at[k].set — a 1M-element
+    # buffer made the loop memory-bound (BENCH_NOTES round 5)
+    mb = int(max_bars) if max_bars is not None else max(min(n, 1 << 16), 2)
     while True:
         out, k, _, _ = _cusum_boundaries(rets, lam, can_close, first_valid, mb,
                                          _CUSUM_CHUNK)
@@ -731,7 +767,7 @@ def _info_bar_indexer(timestamps, sides, weights, expected_ticks_init,
     w = sides.astype(dt) if weights is None else sides.astype(dt) * weights.astype(dt)
     n = w.shape[0]
     user_cap = max_bars is not None
-    mb = int(max_bars) if user_cap else max(min(n, 1 << 20), 2)
+    mb = int(max_bars) if user_cap else max(min(n, 1 << 16), 2)
     while True:
         out, k, _ = _info_bar_boundaries(
             w, float(expected_ticks_init), float(expected_rate_init),

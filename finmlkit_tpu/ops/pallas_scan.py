@@ -56,6 +56,79 @@ def _block_cumsum(x):
     return y + row_prefix
 
 
+def _ffill_kernel(v_ref, m_ref, o_ref, carry):
+    """Forward-fill kernel: value at the latest set mask position.
+
+    Positions before the stream's first valid element fill with the
+    GLOBAL first element's value (matching the reference's
+    ``sigma[clip(last_valid, 0, n-1)]`` semantics) — XLA's formulation
+    of that gather costs ~37 ns/element on this TPU (the hidden 1.45 s
+    inside the round-4 CUSUM bar indexer)."""
+    from .fused_scan import _c_last, _scan2d
+
+    import numpy as _np
+
+    i = pl.program_id(0)
+    v = v_ref[...]
+    m = m_ref[...]
+    # NOTE: bare int literals in jnp.where recurse in the Mosaic
+    # lowering under x64 (weak int64 constant); use np.int32
+    fill, seen = _scan2d((jnp.where(m != 0, v, _np.int32(0)), m), _c_last)
+    cv = jnp.where(i == 0, v[0, 0], carry[0, 0])
+    out = jnp.where(seen != 0, fill, cv)
+    o_ref[...] = out
+    carry[0, 0] = out[_ROWS - 1, _LANES - 1]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _ffill_2d(v, m, interpret=False):
+    n_rows = v.shape[0]
+    grid = n_rows // _ROWS
+    return pl.pallas_call(
+        _ffill_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((_ROWS, _LANES), lambda i: (i, _zero_i32())),
+                  pl.BlockSpec((_ROWS, _LANES), lambda i: (i, _zero_i32()))],
+        out_specs=pl.BlockSpec((_ROWS, _LANES), lambda i: (i, _zero_i32())),
+        out_shape=jax.ShapeDtypeStruct(v.shape, jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32)],
+        interpret=interpret,
+    )(v, m)
+
+
+@partial(jax.jit, static_argnames=("n_pad",))
+def _ffill_prep(values, valid, n_pad: int):
+    pad = n_pad - values.shape[0]
+    bits = jax.lax.bitcast_convert_type(values.astype(jnp.float32),
+                                        jnp.int32)
+    if pad:
+        bits = jnp.concatenate([bits, jnp.zeros((pad,), jnp.int32)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), jnp.bool_)])
+    return bits.reshape(-1, _LANES), valid.astype(jnp.int32).reshape(-1, _LANES)
+
+
+def fast_ffill(values, valid, interpret: bool | None = None):
+    """Forward-fill ``values`` where ``valid`` is False (float32).
+
+    Positions before the first valid element take ``values[0]``
+    (reference clip-to-0 semantics). Falls back to the cummax+gather
+    formulation off-TPU.
+    """
+    n = values.shape[0]
+    if interpret is None:
+        if not _runs_on_tpu(values):
+            idx = jnp.arange(n)
+            last_valid = jax.lax.cummax(jnp.where(valid, idx, -1))
+            return values[jnp.clip(last_valid, 0, n - 1)]
+        interpret = False
+    block = _ROWS * _LANES
+    n_pad = ((n + block - 1) // block) * block
+    bits, m = _ffill_prep(values, valid, n_pad)
+    out = _ffill_2d(bits, m, interpret=interpret)
+    return jax.lax.bitcast_convert_type(
+        out.reshape(-1)[:n], jnp.float32)
+
+
 def _cumsum_kernel(x_ref, o_ref, carry):
     i = pl.program_id(0)
     prev = jnp.where(i == 0, jnp.zeros((), o_ref.dtype), carry[0, 0])
