@@ -777,6 +777,17 @@ def _info_bar_indexer(timestamps, sides, weights, expected_ticks_init,
             # a user-supplied max_bars is an explicit truncation/memory
             # bound: honor it instead of silently growing the buffer
             break
+        if mb >= max(n // 8, 2):
+            # adaptive-threshold runaway guard: theta = E[T]*E[rate] is
+            # knife-edge unstable on driftless data — the downward
+            # spiral reaches a bar per trade, whose event-jump loop
+            # would then run past the TPU program watchdog (a hard
+            # device fault). Fail loudly instead; pass max_bars= to
+            # accept truncation.
+            raise ValueError(
+                f"info-bar threshold adapted into the every-trade "
+                f"regime (> {mb} bars over {n} trades); raise the "
+                f"initial expectations/alphas or pass max_bars=")
         mb = min(mb * 4, n)
     ci = jnp.concatenate([jnp.zeros((1,), jnp.int64), out[:count]])
     return timestamps[ci], ci
