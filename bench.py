@@ -434,9 +434,9 @@ def main():
             _drain(pend)
             return (time.time() - t0) / reps_p
 
-        # best-of-2 loops: tunnel phases drift over minutes and the
+        # best-of-3 loops: tunnel phases drift over minutes and the
         # driver runs this once
-        t_pipe = min(_pipe_loop(), _pipe_loop())
+        t_pipe = min(_pipe_loop(), _pipe_loop(), _pipe_loop())
         print(f"# pipelined steady-state: {t_pipe*1000:.1f}ms/month = "
               f"{N_TRADES/t_pipe:,.0f} tr/s "
               f"({N_TRADES/t_pipe/REF_TRADES_PER_SEC:.3f} vs_baseline)",
@@ -869,6 +869,10 @@ def main():
         t_cusum_cold = time.time() - t0
         t_cusum_idx, ci_c = _bench(cus, k=1, warm=0)
         try:  # race the native host loop (exact f64 reference semantics)
+            if (os.cpu_count() or 1) < 8 and N_TRADES > 10_000_000:
+                raise RuntimeError(
+                    "skipped: sequential host loop needs ~16s on this "
+                    "small host and never wins")
             from finmlkit_tpu.bar.indexers import cusum_bar_indexer_host
             px_h = price.astype(np.float64)
             sg_h = np.full(N_TRADES, 2e-5)
