@@ -117,6 +117,8 @@ def main():
     from finmlkit_tpu.label.tbm import triple_barrier
     from finmlkit_tpu.sampling import cusum_filter
 
+    # .jax_cache holds only TPU-backend programs (cross-host safe —
+    # unlike XLA:CPU AOT entries, see finmlkit_tpu.__init__._machine_tag)
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -36,13 +36,32 @@ if os.environ.get("FMKT_DISABLE_X64", "0") != "1":
 # NOTE: this is a process-global jax.config side effect — co-resident JAX
 # code in the same process shares the cache dir (documented in README).
 # The 0.05 s compile-time floor keeps trivial programs from growing the
-# on-disk cache unboundedly while still catching every fused pipeline
-# program (all multi-second compiles on this transport).
+# on-disk cache unboundedly AND avoids serializing the fast-compiling
+# CPU variants of the big fused programs — XLA:CPU AOT serialization of
+# the final-readback pipeline program SEGFAULTS (jax 0.01-floor
+# experiment, round 5); every real device program compiles well above
+# the floor.
+def _machine_tag() -> str:
+    """Cache entries are machine-specific: XLA:CPU AOT executables
+    compiled on a host with different CPU features SEGFAULT when loaded
+    (observed: a cache shared across driver hosts crashed the test
+    suite inside ``compilation_cache.get_executable_and_time``). Key the
+    directory by a fingerprint of the CPU flags."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        import platform as _platform
+        flags = _platform.processor() or _platform.machine()
+    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+
+
 _cache = os.environ.get("FMKT_COMPILE_CACHE")
 if _cache != "0":
     if not _cache:
         _cache = os.path.join(os.path.expanduser("~"), ".cache",
-                              "finmlkit_tpu", "jax")
+                              "finmlkit_tpu", "jax-" + _machine_tag())
     try:
         os.makedirs(_cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache)

@@ -10,6 +10,10 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# no persistent compile cache under CI: XLA:CPU AOT serialization
+# SEGFAULTS for some of the big fused programs (round-5 finding; the
+# cache is a TPU-transport optimization anyway)
+os.environ["FMKT_COMPILE_CACHE"] = "0"
 
 # sitecustomize imports jax at interpreter startup (latching JAX_PLATFORMS
 # from the shell, which presets the TPU backend) — override via config.

@@ -1,6 +1,7 @@
 """Device-resident combined pipeline (finmlkit_tpu/pipeline.py): the
 bars -> features chain with no host hop must match the two-stage host
 path (bar_products_fused + FeatureKit.build) exactly."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
@@ -30,6 +31,16 @@ def _mk(n=6000, seed=3, n_bars=70):
     ci = np.sort(np.concatenate([ci, [ci[5]]]))  # empty bar
     ts = 1_700_000_000_000_000_000 + np.arange(n, dtype=np.int64) * 50_000_000
     return price, amount, side, q, ci, ts
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compiler_state():
+    # compiling the big final-readback program after ~650 accumulated
+    # test compilations intermittently SEGFAULTS XLA:CPU (standalone
+    # runs are always green); dropping the jit/compiler caches first
+    # restores the standalone conditions
+    jax.clear_caches()
+    yield
 
 
 FEATS = [
